@@ -1,0 +1,300 @@
+"""BN254 field arithmetic as vectorized JAX kernels (TPU VPU friendly).
+
+Representation — lazy-reduction limbed Montgomery arithmetic
+------------------------------------------------------------
+A field element is an array of shape ``(..., 18)`` with dtype ``uint32``: 18
+little-endian limbs of radix 2^15 (Montgomery R = 2^270).  The radix is chosen
+so the kernels never need 64-bit arithmetic:
+
+- *clean* limbs are < 2^15; *dirty* limbs may reach ~2^16 (one uncarried add
+  layer); products of two dirty limbs still fit exactly in a uint32 lane;
+- values are kept in a *lazy* domain: any representative ``v ≡ x (mod p)``
+  with ``v < 2^16 * p`` is legal between operations.  ``mont_mul`` accepts
+  operands with value bounds ``alpha*p`` and ``beta*p`` as long as
+  ``alpha*beta <= 2^16`` and always returns a value ``< 2p`` — so no
+  conditional subtractions appear anywhere on the hot path;
+- full normalization to ``[0, p)`` happens only at API boundaries
+  (``canon`` / ``from_mont``).
+
+All sequential limb loops (product scan, Montgomery reduction) are
+``lax.fori_loop``s, so a traced ``mont_mul`` is ~50 HLO ops regardless of limb
+count: cheap to compile, and the batch dimensions stay fully vectorized on the
+VPU.  Higher layers (Poseidon2, NTT, MSM) wrap repeated calls in ``lax.scan``.
+
+Reference semantics reproduced (not translated): halo2curves bn256 Fr/Fq as
+used throughout /root/reference (modulus limbs pinned at
+crates/shielder-account/src/secrets.rs:20-25; LE wire format at
+crates/type-conversions/lib.rs:40-75; Montgomery R logic visible at
+crates/powers-of-tau/lib.rs:92-109).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field_golden as golden
+
+LIMB_BITS = golden.LIMB_BITS  # 15
+N_LIMBS = golden.N_LIMBS  # 18
+LIMB_MASK = (1 << LIMB_BITS) - 1
+U32 = jnp.uint32
+
+
+def _np_limbs(x: int, n: int = N_LIMBS) -> np.ndarray:
+    return np.array(golden.to_limbs(x, n=n), dtype=np.uint32)
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static per-modulus constants (host numpy; closed over by jitted fns)."""
+
+    name: str
+    p: int
+    p_limbs: np.ndarray  # (18,) uint32, clean
+    np0: int  # -p^{-1} mod 2^15
+    r_mod_p: int  # R mod p  (Montgomery form of 1)
+    r2_limbs: np.ndarray  # (18,) uint32, R^2 mod p
+    one_mont: np.ndarray  # (18,) uint32, R mod p
+    p_minus_2_bits: np.ndarray  # (255,) uint8, LSB first — for Fermat inversion
+
+    @staticmethod
+    def make(name: str, p: int) -> "FieldSpec":
+        g = golden.GoldenField(p)
+        nbits = p.bit_length() + 1
+        bits = np.array([(p - 2) >> i & 1 for i in range(nbits)], dtype=np.uint8)
+        return FieldSpec(
+            name=name,
+            p=p,
+            p_limbs=_np_limbs(p),
+            np0=g.np0,
+            r_mod_p=g.r,
+            r2_limbs=_np_limbs(g.r2),
+            one_mont=_np_limbs(g.r),
+            p_minus_2_bits=bits,
+        )
+
+
+FR = FieldSpec.make("Fr", golden.FR_MODULUS)
+FQ = FieldSpec.make("Fq", golden.FQ_MODULUS)
+
+
+# ---------------------------------------------------------------------------
+# conversions (host side)
+# ---------------------------------------------------------------------------
+
+def to_limbs(x) -> np.ndarray:
+    """Host conversion: python int / nested iterable of ints -> uint32 limbs."""
+    if isinstance(x, (int, np.integer)):
+        return _np_limbs(int(x))
+    return np.stack([to_limbs(v) for v in x])
+
+
+def from_limbs(a):
+    """Host conversion: uint32 limb array -> python int (or nested lists)."""
+    a = np.asarray(a)
+    if a.ndim == 1:
+        return golden.from_limbs(a)
+    return [from_limbs(row) for row in a]
+
+
+# ---------------------------------------------------------------------------
+# limb helpers (traced)
+# ---------------------------------------------------------------------------
+
+def carry_once(t: jax.Array) -> jax.Array:
+    """One vectorized carry pass: limbs become <= 2^15 + (max>>15).
+
+    Valid for column values < 2^29; value is preserved as long as it fits
+    the array width (top carry must be representable — callers guarantee
+    value < 2^(15*width)).
+    """
+    lo = t & LIMB_MASK
+    hi = t >> LIMB_BITS
+    pad = [(0, 0)] * (t.ndim - 1)
+    return lo + jnp.pad(hi[..., :-1], pad + [(1, 0)])
+
+
+def carry_prop(t: jax.Array) -> jax.Array:
+    """Full normalization of limbs to < 2^15 (sequential ripple, unrolled)."""
+    k = t.shape[-1]
+    for i in range(k - 1):
+        c = t[..., i] >> LIMB_BITS
+        t = t.at[..., i].set(t[..., i] & LIMB_MASK)
+        t = t.at[..., i + 1].add(c)
+    return t.at[..., k - 1].set(t[..., k - 1] & LIMB_MASK)
+
+
+def _borrow_sub(a: jax.Array, b: jax.Array):
+    """a - b over clean-ish limbs; returns (diff, borrow_out). a,b limbs < 2^16."""
+    k = a.shape[-1]
+    borrow = jnp.zeros(a.shape[:-1], dtype=U32)
+    outs = []
+    for i in range(k):
+        d = a[..., i] + (4 << LIMB_BITS) - b[..., i] - borrow
+        outs.append(d & LIMB_MASK)
+        borrow = 4 - (d >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+# ---------------------------------------------------------------------------
+# lazy-domain operations
+# ---------------------------------------------------------------------------
+
+def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Lazy modular add: plain limb addition, no reduction.
+
+    Value bound grows (alpha_out = alpha_a + alpha_b); callers track bounds.
+    """
+    return a + b
+
+
+def sub(spec: FieldSpec, a: jax.Array, b: jax.Array, k: int = 4) -> jax.Array:
+    """Lazy modular subtraction: a + (k*p - b), valid for value(b) < k*p.
+
+    b's limbs must be <= 2^16 (apply carry_once first if needed).  Output
+    value < value(a) + k*p.
+    """
+    kp = jnp.asarray(_np_limbs(k * spec.p), dtype=U32)
+    diff, _ = _borrow_sub(jnp.broadcast_to(kp, b.shape), b)
+    return a + diff
+
+
+def neg(spec: FieldSpec, b: jax.Array, k: int = 4) -> jax.Array:
+    """Lazy negation: k*p - b (maps any representative of 0 to a rep of 0)."""
+    kp = jnp.asarray(_np_limbs(k * spec.p), dtype=U32)
+    diff, _ = _borrow_sub(jnp.broadcast_to(kp, b.shape), b)
+    return diff
+
+
+# ---------------------------------------------------------------------------
+# Montgomery multiplication (the workhorse)
+# ---------------------------------------------------------------------------
+
+def mont_mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Montgomery product a * b * R^{-1} mod p in the lazy domain.
+
+    Preconditions: value(a) = alpha*p, value(b) = beta*p with
+    alpha*beta <= 2^16, and limb columns < 2^29 (any chain of < ~2^13 lazy
+    adds is fine — ``carry_once`` is applied internally).
+    Postcondition: value(out) < 2p, limbs <= 2^15 + 2^8.
+    """
+    a, b = jnp.broadcast_arrays(a, b)
+    a = carry_once(a)
+    b = carry_once(b)
+    bs = a.shape[:-1]
+    pad = [(0, 0)] * len(bs)
+    n = N_LIMBS
+    width = 2 * n + 1
+
+    p_limbs = jnp.asarray(spec.p_limbs, dtype=U32)
+    np0 = np.uint32(spec.np0)
+
+    def prod_body(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=True)
+        prod = ai * b  # exact in uint32 (dirty limbs < 2^16 each... < 2^32)
+        lo = prod & LIMB_MASK
+        hi = prod >> LIMB_BITS
+        seg = jax.lax.dynamic_slice_in_dim(t, i, n + 1, axis=t.ndim - 1)
+        seg = seg + jnp.pad(lo, pad + [(0, 1)]) + jnp.pad(hi, pad + [(1, 0)])
+        return jax.lax.dynamic_update_slice_in_dim(t, seg, i, axis=t.ndim - 1)
+
+    t = jax.lax.fori_loop(0, n, prod_body, jnp.zeros(bs + (width,), dtype=U32))
+
+    def red_body(i, t):
+        ti = jax.lax.dynamic_index_in_dim(t, i, axis=t.ndim - 1, keepdims=False)
+        carry = ti >> LIMB_BITS
+        tlow = ti & LIMB_MASK
+        m = (tlow * np0) & LIMB_MASK
+        mp = m[..., None] * p_limbs  # (..., 18), < 2^30
+        lo = mp & LIMB_MASK
+        hi = mp >> LIMB_BITS
+        carry2 = (tlow + lo[..., 0]) >> LIMB_BITS
+        seg = jax.lax.dynamic_slice_in_dim(t, i, n + 2, axis=t.ndim - 1)
+        seg = seg + jnp.pad(lo, pad + [(0, 2)]) + jnp.pad(hi, pad + [(1, 1)])
+        seg = seg.at[..., 0].set(jnp.zeros_like(ti))
+        seg = seg.at[..., 1].add(carry + carry2)
+        return jax.lax.dynamic_update_slice_in_dim(t, seg, i, axis=t.ndim - 1)
+
+    t = jax.lax.fori_loop(0, n, red_body, t)
+    # columns 2n-1 and 2n are provably zero (result value < 2p < 2^255 and
+    # p's top limb is zero), so the result is exactly columns n..2n-1
+    return carry_once(t[..., n : 2 * n])
+
+
+def mont_sqr(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mont_mul(spec, a, a)
+
+
+def reduce2p(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Reduce a lazy value (alpha <= 2^16) to < 2p: one Montgomery mul by R."""
+    return mont_mul(spec, a, jnp.asarray(spec.one_mont, dtype=U32))
+
+
+def to_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Canonical/lazy -> Montgomery domain: a * R mod p (result < 2p)."""
+    return mont_mul(spec, a, jnp.asarray(spec.r2_limbs, dtype=U32))
+
+
+def normalize(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Map a value < 2p with dirty limbs to canonical [0, p) clean limbs."""
+    a = carry_prop(a)
+    p = jnp.asarray(spec.p_limbs, dtype=U32)
+    diff, borrow = _borrow_sub(a, jnp.broadcast_to(p, a.shape))
+    return jnp.where((borrow == 0)[..., None], diff, a)
+
+
+def from_mont(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Montgomery -> canonical domain in [0, p): a * R^{-1} mod p."""
+    one = jnp.zeros_like(a).at[..., 0].set(1)
+    return normalize(spec, mont_mul(spec, a, one))
+
+
+def canon(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Fully reduce any lazy-domain value (alpha <= 2^16) to canonical [0, p)."""
+    return from_mont(spec, to_mont(spec, a))
+
+
+def one_mont(spec: FieldSpec, batch_shape=()) -> jax.Array:
+    return jnp.broadcast_to(jnp.asarray(spec.one_mont, dtype=U32), tuple(batch_shape) + (N_LIMBS,))
+
+
+def zero(spec: FieldSpec, batch_shape=()) -> jax.Array:
+    return jnp.zeros(tuple(batch_shape) + (N_LIMBS,), dtype=U32)
+
+
+def is_zero(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Zero test for values < 2p with dirty limbs (exact)."""
+    c = canon(spec, a)
+    return jnp.all(c == 0, axis=-1)
+
+
+def eq(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(canon(spec, a) == canon(spec, b), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# exponentiation / inversion (Montgomery domain, scan-based)
+# ---------------------------------------------------------------------------
+
+def mont_pow_bits(spec: FieldSpec, a: jax.Array, exp_bits: np.ndarray) -> jax.Array:
+    """a^e in the Montgomery domain; e given as an LSB-first uint8 bit array."""
+    bits = jnp.asarray(np.asarray(exp_bits)[::-1].copy(), dtype=U32)  # MSB first
+    init = jnp.broadcast_to(one_mont(spec), a.shape)
+
+    def scan_body(acc, bit):
+        acc = mont_sqr(spec, acc)
+        mult = mont_mul(spec, acc, a)
+        acc = jnp.where(bit == 1, mult, acc)
+        return acc, None
+
+    out, _ = jax.lax.scan(scan_body, init, bits)
+    return out
+
+
+def mont_inv(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    """Batched inversion via Fermat (a^(p-2)); maps 0 -> 0. Result < 2p."""
+    return mont_pow_bits(spec, a, spec.p_minus_2_bits)
