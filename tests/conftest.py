@@ -1,17 +1,21 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Must set env vars before the first `import jax` anywhere in the test process.
+NOTE this environment force-registers the "axon" TPU platform via a baked
+sitecustomize and `JAX_PLATFORMS=axon`; plain env vars do NOT select the CPU
+backend.  We must call `jax.config.update("jax_platforms", "cpu")` after
+import (and set XLA_FLAGS before the CPU client is instantiated) to get the
+virtual 8-device CPU mesh that sharding tests rely on.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -22,3 +26,8 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_sessionstart(session):
+    # fail fast if the virtual device mesh is unavailable
+    assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"

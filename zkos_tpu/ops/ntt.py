@@ -1,0 +1,138 @@
+"""Radix-2 NTT / iNTT over BN254-Fr as batched JAX kernels.
+
+Math contract (matches halo2's EvaluationDomain over bn256::Fr):
+``ntt(coeffs)[i] = poly(omega^i)`` with ``omega`` the canonical primitive
+n-th root of unity derived from halo2curves' ``ROOT_OF_UNITY``
+(GENERATOR=7, S=28; the per-circuit omega constants embedded into generated
+verifiers at crates/halo2-verifier/src/lib/codegen.rs:164-171 are these same
+values).  ``intt = ntt`` with ``omega^{-1}`` plus a final ``n^{-1}`` scale —
+this is halo2's ``lagrange_to_coeff`` (oracle:
+crates/powers-of-tau/src/lib.rs:248-263, ``commit_lagrange == commit`` after
+the round trip).
+
+Implementation: iterative decimation-in-time on Montgomery-form limb arrays of
+shape ``(n, ..., 18)`` — one bit-reversal gather, then log2(n) stages, each a
+single reshape + one batched Montgomery multiply + lazy add/sub (values grow
+by 2p per stage in the lazy domain, absorbed by the next multiply; the final
+output is reduced to < 2p).  The whole transform traces to ~60 ops per stage
+regardless of n, and the batch/limb dims vectorize on the TPU VPU.
+
+The multi-chip variant (four-step/Bailey decomposition with all_to_all stage
+exchange) lives in ``zkos_tpu.parallel.sharded_ntt``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import field as F
+from . import field_golden as G
+
+
+def root_of_unity(n: int, inverse: bool = False) -> int:
+    """Canonical primitive n-th root of unity in Fr (n a power of two)."""
+    assert n & (n - 1) == 0 and n >= 1
+    k = n.bit_length() - 1
+    assert k <= G.FR_TWO_ADICITY
+    w = pow(G.fr_root_of_unity(), 1 << (G.FR_TWO_ADICITY - k), G.FR_MODULUS)
+    if inverse:
+        w = G.FR.inv(w)
+    return w
+
+
+def bit_reverse_indices(n: int) -> np.ndarray:
+    k = n.bit_length() - 1
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+def pow_table_mont(spec: F.FieldSpec, w_mont: jax.Array, m: int) -> jax.Array:
+    """[1, w, w^2, ..., w^{m-1}] in Montgomery form, (m, 18), by doubling."""
+    table = F.one_mont(spec, (1,))
+    w_pow = w_mont  # w^(2^i) at step i
+    size = 1
+    while size < m:
+        ext = F.mont_mul(spec, table, w_pow[None, :] if w_pow.ndim == 1 else w_pow)
+        table = jnp.concatenate([table, ext], axis=0)
+        w_pow = F.mont_sqr(spec, w_pow)
+        size *= 2
+    return table[:m]
+
+
+def ntt_mont(spec: F.FieldSpec, a: jax.Array, inverse: bool = False,
+             reduce_output: bool = True) -> jax.Array:
+    """NTT/iNTT on Montgomery-form values, natural order in and out.
+
+    a: (n, ..., 18) with n a power of two, values < 2p.
+    Returns evaluations (or coefficients if inverse) < 2p.
+    """
+    n = a.shape[0]
+    assert n & (n - 1) == 0
+    if n == 1:
+        return a
+    k = n.bit_length() - 1
+    batch_ndim = a.ndim - 2  # dims between n and limbs
+
+    w_int = root_of_unity(n, inverse=inverse)
+    w_mont = jnp.asarray(F.to_limbs(G.FR.to_mont(w_int)), dtype=jnp.uint32)
+    table = pow_table_mont(spec, w_mont, n // 2)  # (n/2, 18)
+
+    a = jnp.take(a, jnp.asarray(bit_reverse_indices(n)), axis=0)
+    for s in range(1, k + 1):
+        half = 1 << (s - 1)
+        m = n >> s
+        aa = a.reshape((m, 2, half) + a.shape[1:])
+        e = aa[:, 0]
+        o = aa[:, 1]
+        tw = table[:: (n >> s)]  # (half, 18)
+        tw = tw.reshape((1, half) + (1,) * batch_ndim + (F.N_LIMBS,))
+        t = F.mont_mul(spec, o, tw)
+        hi = F.add(spec, e, t)
+        lo = F.sub(spec, e, t, k=2)
+        a = jnp.stack([hi, lo], axis=1).reshape((n,) + a.shape[1:])
+        # NB: stack axis=1 gives (m, 2, half, ...) -> flattens to blocks of 2*half
+    if inverse:
+        n_inv = G.FR.to_mont(G.FR.inv(n))
+        a = F.mont_mul(spec, a, jnp.asarray(F.to_limbs(n_inv), dtype=jnp.uint32))
+    elif reduce_output:
+        a = F.reduce2p(spec, a)
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("inverse",))
+def ntt(a: jax.Array, inverse: bool = False) -> jax.Array:
+    """Canonical-domain NTT: (n, ..., 18) canonical limbs -> canonical limbs."""
+    am = F.to_mont(F.FR, a)
+    out = ntt_mont(F.FR, am, inverse=inverse)
+    return F.from_mont(F.FR, out)
+
+
+# ---------------------------------------------------------------------------
+# golden model
+# ---------------------------------------------------------------------------
+
+def ntt_ints(coeffs: list[int], inverse: bool = False) -> list[int]:
+    """Naive O(n^2) DFT oracle over python ints."""
+    n = len(coeffs)
+    w = root_of_unity(n, inverse=inverse)
+    p = G.FR_MODULUS
+    out = []
+    for i in range(n):
+        acc = 0
+        wi = pow(w, i, p)
+        x = 1
+        for c in coeffs:
+            acc = (acc + c * x) % p
+            x = (x * wi) % p
+        out.append(acc)
+    if inverse:
+        n_inv = G.FR.inv(n)
+        out = [(x * n_inv) % p for x in out]
+    return out
