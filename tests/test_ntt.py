@@ -33,13 +33,14 @@ def test_intt_roundtrip(rng):
 
 
 def test_ntt_batched(rng):
-    """Batch dimension: (n, B, 18) transforms each column independently."""
+    """Batch dimension: (18, n, B) transforms each column independently."""
     n, b = 8, 3
     cols = [[int(rng.integers(1, 2**60)) for _ in range(n)] for _ in range(b)]
-    arr = np.stack([[F.to_limbs(cols[j][i]) for j in range(b)] for i in range(n)]).astype(np.uint32)
+    arr = np.stack([[G.to_limbs(cols[j][i]) for j in range(b)]
+                    for i in range(n)]).astype(np.uint32).transpose(2, 0, 1)
     out = np.asarray(NTT.ntt(jnp.asarray(arr)))
     for j in range(b):
-        got = [G.from_limbs(out[i, j]) for i in range(n)]
+        got = [G.from_limbs(out[:, i, j]) for i in range(n)]
         assert got == NTT.ntt_ints(cols[j])
 
 

@@ -14,12 +14,12 @@ def test_permute_matches_golden(rng):
     batch = 3
     states = [[int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62)) % G.FR_MODULUS
                for _ in range(8)] for _ in range(batch)]
-    # JAX: state (8, B, 16) in Montgomery form
+    # JAX: state (18, 8, B) limb-major in Montgomery form
     arr = np.stack([[G.to_limbs(G.FR.to_mont(states[b][lane])) for b in range(batch)]
-                    for lane in range(8)]).astype(np.uint32)
+                    for lane in range(8)]).astype(np.uint32).transpose(2, 0, 1)
     out = P2.permute(jnp.asarray(arr))
-    out_can = F.from_mont(F.FR, out)
-    got = [[G.from_limbs(np.asarray(out_can)[lane, b]) for lane in range(8)] for b in range(batch)]
+    out_can = np.asarray(F.from_mont(F.FR, out))
+    got = [[G.from_limbs(out_can[:, lane, b]) for lane in range(8)] for b in range(batch)]
     want = [P2.permute_ints(s) for s in states]
     assert got == want
 
@@ -29,9 +29,10 @@ def test_hash_n_matches_golden(n, rng):
     batch = 4
     inputs = [[int(rng.integers(0, 2**62)) * int(rng.integers(0, 2**62)) % G.FR_MODULUS
                for _ in range(n)] for _ in range(batch)]
-    arr = np.stack([[G.to_limbs(inputs[b][i]) for b in range(batch)] for i in range(n)]).astype(np.uint32)
-    out = np.asarray(P2.hash_n(jnp.asarray(arr)))
-    got = [G.from_limbs(out[b]) for b in range(batch)]
+    arr = np.stack([[G.to_limbs(inputs[b][i]) for b in range(batch)]
+                    for i in range(n)]).astype(np.uint32).transpose(2, 0, 1)
+    out = np.asarray(P2.hash_n(jnp.asarray(arr)))  # (18, B)
+    got = [G.from_limbs(out[:, b]) for b in range(batch)]
     want = [P2.hash_ints(row) for row in inputs]
     assert got == want
 

@@ -1,0 +1,153 @@
+"""Pippenger multi-scalar multiplication on BN254 G1 — XLA/TPU-friendly.
+
+Classic Pippenger does data-dependent scatter (point -> bucket), which is
+hostile to a vector machine.  This reformulation keeps Pippenger's O(W*N)
+addition count while exposing wide static parallelism:
+
+1. **Digits**: scalars (canonical 15-bit limb arrays) are split on-device into
+   W = ceil(254/c) windows of c bits.
+2. **Bucket accumulation**: points are partitioned into G groups; a single
+   ``lax.scan`` of length M = N/G performs, per step, one *batched* complete
+   EC addition over all (window, group) lanes simultaneously: lane (w, g)
+   folds its current point into bucket ``digits[w, point]`` of its private
+   bucket array.  That is W*G EC adds per step — wide enough to saturate the
+   VPU — with per-lane dynamic indexing expressed as batched gather/scatter.
+3. **Group reduction**: the G per-group bucket arrays are folded with a
+   log2(G) tree of batched EC adds.
+4. **Suffix sums**: one scan of length 2^c - 1 computes
+   ``sum_b b * S_b`` per window via the running-suffix identity.
+5. **Window fold**: Horner over windows (c doublings + 1 add per window,
+   scan-wrapped).
+
+Total work: W*(N + 2^{c+1}) + c*W complete additions.  Layout: points are
+``(3, 18, N)`` limb-major; buckets are ``(3, 18, W, G, 2^c)`` so the EC adds
+batch over (W, G[, B]) on the vector lanes.  The multi-chip variant (points
+sharded, per-chip partials combined with an all-gather fold) lives in
+``zkos_tpu.parallel``.
+
+Oracle: ``curve_golden.msm`` (python ints).  This kernel implements
+``Srs::commit`` / ``commit_lagrange`` (reference pins:
+crates/powers-of-tau/src/lib.rs:255-263).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import curve as C
+from . import field as F
+
+
+def num_windows(c: int, nbits: int = 254) -> int:
+    return -(-nbits // c)
+
+
+def limbs_to_digits(scalar_limbs: jax.Array, c: int) -> jax.Array:
+    """(18, N) canonical 15-bit limbs -> (W, N) uint32 digits in [0, 2^c)."""
+    assert 1 <= c <= 15
+    w_count = num_windows(c)
+    lb = F.LIMB_BITS
+    n_limbs = scalar_limbs.shape[0]
+    outs = []
+    for w in range(w_count):
+        b0 = c * w
+        i0, sh = divmod(b0, lb)
+        d = scalar_limbs[i0] >> sh
+        if sh + c > lb and i0 + 1 < n_limbs:
+            d = d | (scalar_limbs[i0 + 1] << (lb - sh))
+        outs.append(d & ((1 << c) - 1))
+    return jnp.stack(outs, axis=0)
+
+
+def _bucket_accumulate(points: jax.Array, digits: jax.Array, c: int, groups: int) -> jax.Array:
+    """Scan-Pippenger bucket phase.
+
+    points: (3, 18, N) Montgomery projective; digits: (W, N) uint32.
+    Returns per-window bucket sums S_{w,b}: (3, 18, W, 2^c).
+    """
+    w_count, n = digits.shape
+    g = groups
+    assert n % g == 0, "pad inputs to a multiple of the group count"
+    m = n // g
+    b_count = 1 << c
+    nl = F.N_LIMBS
+
+    # scan xs: per step one point per group and its digit per window
+    pts = jnp.moveaxis(points.reshape(3, nl, g, m), -1, 0)  # (M, 3, 18, G)
+    dig = jnp.moveaxis(digits.reshape(w_count, g, m), -1, 0).astype(jnp.int32)  # (M, W, G)
+
+    buckets = C.point_identity((w_count, g, b_count))  # (3, 18, W, G, B)
+    w_idx = jnp.arange(w_count, dtype=jnp.int32)[:, None]
+    g_idx = jnp.arange(g, dtype=jnp.int32)[None, :]
+
+    def body(bk, xs):
+        pts_step, d_step = xs  # (3,18,G), (W,G)
+        idx = d_step[None, None, :, :, None]
+        cur = jnp.take_along_axis(bk, idx, axis=4)[..., 0]  # (3,18,W,G)
+        new = C.ec_add(cur, pts_step[:, :, None, :])
+        return bk.at[:, :, w_idx, g_idx, d_step].set(new), None
+
+    buckets, _ = jax.lax.scan(body, buckets, (pts, dig))
+
+    # tree-fold groups (axis 3)
+    while buckets.shape[3] > 1:
+        half = buckets.shape[3] // 2
+        buckets = C.ec_add(buckets[:, :, :, :half], buckets[:, :, :, half:])
+    return buckets[:, :, :, 0]  # (3, 18, W, B)
+
+
+def _suffix_weighted_sums(buckets: jax.Array) -> jax.Array:
+    """sum_{b>=1} b*S_b per window via running suffix sums: (3,18,W,B)->(3,18,W)."""
+    w_count = buckets.shape[2]
+    xs = jnp.moveaxis(buckets[..., :0:-1], -1, 0)  # (B-1, 3, 18, W), b=B-1..1
+    ident = C.point_identity((w_count,))
+
+    def body(carry, s_b):
+        running, acc = carry
+        running = C.ec_add(running, s_b)
+        acc = C.ec_add(acc, running)
+        return (running, acc), None
+
+    (_, acc), _ = jax.lax.scan(body, (ident, ident), xs)
+    return acc
+
+
+def _fold_windows(per_window: jax.Array, c: int) -> jax.Array:
+    """Horner over windows: result = sum_w 2^{cw} T_w.  (3,18,W) -> (3,18)."""
+    xs = jnp.moveaxis(per_window, -1, 0)[::-1]  # (W, 3, 18), MSB window first
+    ident = C.point_identity()
+
+    def body(acc, t_w):
+        acc = jax.lax.fori_loop(0, c, lambda _, r: C.ec_double(r), acc)
+        return C.ec_add(acc, t_w), None
+
+    out, _ = jax.lax.scan(body, ident, xs)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("c", "groups"))
+def msm_mont(points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
+             groups: int | None = None) -> jax.Array:
+    """MSM: sum_i scalars[i] * points[i].
+
+    points: (3, 18, N) Montgomery projective (< 2p);
+    scalar_limbs: (18, N) canonical 15-bit limbs of the scalars.
+    Returns a single projective point (3, 18).
+    """
+    n = points.shape[-1]
+    if groups is None:
+        groups = max(1, min(512, n // 8))
+    pad = (-n) % groups
+    if pad:
+        points = jnp.concatenate(
+            [points, C.point_identity((pad,))], axis=-1)
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs, jnp.zeros((F.N_LIMBS, pad), dtype=jnp.uint32)], axis=-1)
+    digits = limbs_to_digits(scalar_limbs, c)
+    buckets = _bucket_accumulate(points, digits, c, groups)
+    per_window = _suffix_weighted_sums(buckets)
+    return _fold_windows(per_window, c)

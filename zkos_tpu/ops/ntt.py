@@ -54,53 +54,54 @@ def bit_reverse_indices(n: int) -> np.ndarray:
 
 
 def pow_table_mont(spec: F.FieldSpec, w_mont: jax.Array, m: int) -> jax.Array:
-    """[1, w, w^2, ..., w^{m-1}] in Montgomery form, (m, 18), by doubling."""
-    table = F.one_mont(spec, (1,))
-    w_pow = w_mont  # w^(2^i) at step i
+    """[1, w, w^2, ..., w^{m-1}] in Montgomery form, (18, m), by doubling."""
+    table = F.one_mont(spec, (1,))  # (18, 1)
+    w_pow = w_mont  # (18,), w^(2^i) at step i
     size = 1
     while size < m:
-        ext = F.mont_mul(spec, table, w_pow[None, :] if w_pow.ndim == 1 else w_pow)
-        table = jnp.concatenate([table, ext], axis=0)
+        ext = F.mont_mul(spec, table, w_pow[:, None])
+        table = jnp.concatenate([table, ext], axis=1)
         w_pow = F.mont_sqr(spec, w_pow)
         size *= 2
-    return table[:m]
+    return table[:, :m]
 
 
 def ntt_mont(spec: F.FieldSpec, a: jax.Array, inverse: bool = False,
              reduce_output: bool = True) -> jax.Array:
     """NTT/iNTT on Montgomery-form values, natural order in and out.
 
-    a: (n, ..., 18) with n a power of two, values < 2p.
+    a: (18, n, *batch) limb-major with n a power of two, values < 2p.
     Returns evaluations (or coefficients if inverse) < 2p.
     """
-    n = a.shape[0]
+    n = a.shape[1]
     assert n & (n - 1) == 0
     if n == 1:
         return a
     k = n.bit_length() - 1
-    batch_ndim = a.ndim - 2  # dims between n and limbs
+    batch_shape = a.shape[2:]
+    batch_ndim = len(batch_shape)
+    nl = F.N_LIMBS
 
     w_int = root_of_unity(n, inverse=inverse)
     w_mont = jnp.asarray(F.to_limbs(G.FR.to_mont(w_int)), dtype=jnp.uint32)
-    table = pow_table_mont(spec, w_mont, n // 2)  # (n/2, 18)
+    table = pow_table_mont(spec, w_mont, n // 2)  # (18, n/2)
 
-    a = jnp.take(a, jnp.asarray(bit_reverse_indices(n)), axis=0)
+    a = jnp.take(a, jnp.asarray(bit_reverse_indices(n)), axis=1)
     for s in range(1, k + 1):
         half = 1 << (s - 1)
         m = n >> s
-        aa = a.reshape((m, 2, half) + a.shape[1:])
-        e = aa[:, 0]
-        o = aa[:, 1]
-        tw = table[:: (n >> s)]  # (half, 18)
-        tw = tw.reshape((1, half) + (1,) * batch_ndim + (F.N_LIMBS,))
+        aa = a.reshape((nl, m, 2, half) + batch_shape)
+        e = aa[:, :, 0]
+        o = aa[:, :, 1]
+        tw = table[:, :: (n >> s)]  # (18, half)
+        tw = tw.reshape((nl, 1, half) + (1,) * batch_ndim)
         t = F.mont_mul(spec, o, tw)
-        hi = F.add(spec, e, t)
+        hi = e + t
         lo = F.sub(spec, e, t, k=2)
-        a = jnp.stack([hi, lo], axis=1).reshape((n,) + a.shape[1:])
-        # NB: stack axis=1 gives (m, 2, half, ...) -> flattens to blocks of 2*half
+        a = jnp.stack([hi, lo], axis=2).reshape((nl, n) + batch_shape)
     if inverse:
         n_inv = G.FR.to_mont(G.FR.inv(n))
-        a = F.mont_mul(spec, a, jnp.asarray(F.to_limbs(n_inv), dtype=jnp.uint32))
+        a = F.mont_mul(spec, a, F.const(F.to_limbs(n_inv), a.ndim))
     elif reduce_output:
         a = F.reduce2p(spec, a)
     return a
@@ -108,7 +109,7 @@ def ntt_mont(spec: F.FieldSpec, a: jax.Array, inverse: bool = False,
 
 @functools.partial(jax.jit, static_argnames=("inverse",))
 def ntt(a: jax.Array, inverse: bool = False) -> jax.Array:
-    """Canonical-domain NTT: (n, ..., 18) canonical limbs -> canonical limbs."""
+    """Canonical-domain NTT: (18, n, *batch) canonical limbs -> same shape."""
     am = F.to_mont(F.FR, a)
     out = ntt_mont(F.FR, am, inverse=inverse)
     return F.from_mont(F.FR, out)

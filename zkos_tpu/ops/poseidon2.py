@@ -4,12 +4,10 @@ Two implementations:
 
 - a pure-python golden model (``permute_ints`` / ``hash_ints``) — the
   correctness oracle and the host-side hasher for protocol bookkeeping;
-- a batched JAX kernel (``permute`` / ``hash_n``) operating on Montgomery-form
-  limb arrays of shape ``(8, B, 16)``, with the 48 partial rounds and the two
-  full-round blocks wrapped in ``lax.scan`` so the traced graph stays small.
-  The batch dimension B is the number of simultaneous hashes (Merkle nodes,
-  notes, transcript absorptions, ...), which is what the TPU VPU vectorizes
-  over.
+- a batched JAX kernel (``permute`` / ``hash_n``) on Montgomery-form
+  limb-major arrays of shape ``(18, 8, B)`` (limbs, lanes, batch), with the
+  partial-round block and the two full-round blocks wrapped in ``lax.scan``.
+  The batch dimension B (Merkle nodes, notes, ...) rides the TPU vector lanes.
 
 Spec source (reference): poseidon2-solidity/generate_t8.py — init sets the
 capacity lane (index 7) to ``n_inputs * 2^64`` and applies the external mix
@@ -19,6 +17,11 @@ to lane 0 and set ``state[i] = D[i]*state[i] + sum(state)``; the digest is
 lane 0 after the last full round.  The off-circuit ``hash::<N>`` for N < 7
 (crates/shielder_bindings/src/utils.rs:14-30) zero-pads the rate lanes and
 tags the capacity with N * 2^64.
+
+Lazy-domain bound sketch: post-mix lanes < 96p; +constant < 97p; pow7's first
+square has alpha*beta = 97^2 < 2^16 — fine; inside the partial block the lane
+sum (< ~780p) is reduced to < 2p with one Montgomery mul per round so bounds
+stay stationary.
 """
 
 from __future__ import annotations
@@ -74,33 +77,30 @@ def hash_ints(inputs: list[int]) -> int:
 
 
 # ---------------------------------------------------------------------------
-# JAX kernel
+# JAX kernel — state (18, 8, B), limb-major
 # ---------------------------------------------------------------------------
 
 def _mont_np(x: int) -> np.ndarray:
     return np.array(G.to_limbs(G.FR.to_mont(x % P)), dtype=np.uint32)
 
 
-# constants in Montgomery form, shaped for scans
-_C_MONT = np.stack([np.stack([_mont_np(C[T * r + i]) for i in range(T)]) for r in range(N_ROUNDS)])
-# (56, 8, 16) uint32
-_D_MONT = np.stack([_mont_np(d) for d in D])  # (8, 16)
+# constants in Montgomery form: rounds x limbs x lanes
+_C_MONT = np.stack(
+    [np.stack([_mont_np(C[T * r + i]) for i in range(T)], axis=-1) for r in range(N_ROUNDS)]
+)  # (56, 18, 8)
+_D_MONT = np.stack([_mont_np(d) for d in D], axis=-1)  # (18, 8)
 _CAP_MONT = {n: _mont_np(n * CAPACITY_TAG_BASE) for n in range(1, RATE + 1)}
-
-
-_M_E_U32 = np.array(M_E, dtype=np.uint32)  # entries <= 14
+_M_E_U32 = np.array(M_E, dtype=np.uint32)  # entries <= 14, row sums <= 48
 
 
 def _external_mix(state: jax.Array) -> jax.Array:
-    """M_E = circ(2*M4, M4) applied to state (8, B, 18).
+    """M_E applied across the lane axis of (18, 8, B) — one lazy contraction.
 
-    Because the matrix entries are tiny integers, the mix is a single lazy
-    integer contraction in the limb domain (no modular reduction needed:
-    row sums are <= 48, so limbs stay < 2^22 and values < 96p, which the
-    following Montgomery multiply absorbs).
+    Row sums <= 48 keep limbs < 2^22 and values < 96p, absorbed by the next
+    Montgomery multiply; no modular reduction needed here.
     """
     m = jnp.asarray(_M_E_U32)
-    return jnp.tensordot(m, state, axes=1)
+    return jnp.einsum("kj,ljb->lkb", m, state)
 
 
 def _pow7(x: jax.Array) -> jax.Array:
@@ -111,26 +111,23 @@ def _pow7(x: jax.Array) -> jax.Array:
 
 
 def _full_round(state: jax.Array, c_round: jax.Array) -> jax.Array:
-    # state (8,B,18) lazy Montgomery; c_round (8,18)
-    state = state + c_round[:, None, :]
+    # state (18, 8, B); c_round (18, 8)
+    state = state + c_round[:, :, None]
     state = _pow7(state)
     return _external_mix(state)
 
 
 def _partial_round(state: jax.Array, c0: jax.Array) -> jax.Array:
-    # Lazy-domain bound analysis: state lanes < 96p on entry (post external
-    # mix) or < 4p (inside the partial block); tot < ~700p is reduced to < 2p
-    # with one Montgomery mul so lane bounds stay stationary across rounds.
     spec = F.FR
-    s0 = _pow7(state[0] + c0[None, :])
-    state = state.at[0].set(s0)
-    tot = F.reduce2p(spec, jnp.sum(state, axis=0, dtype=jnp.uint32))
-    d = jnp.asarray(_D_MONT, dtype=jnp.uint32)[:, None, :]
-    return F.mont_mul(spec, state, d) + tot[None]
+    s0 = _pow7(state[:, 0] + c0[:, None])
+    state = state.at[:, 0].set(s0)
+    tot = F.reduce2p(spec, jnp.sum(state, axis=1, dtype=jnp.uint32))
+    d = jnp.asarray(_D_MONT, dtype=jnp.uint32)[:, :, None]
+    return F.mont_mul(spec, state, d) + tot[:, None]
 
 
 def permute(state: jax.Array) -> jax.Array:
-    """Poseidon2 permutation on Montgomery-form state of shape (8, B, 16)."""
+    """Poseidon2 permutation on Montgomery-form state of shape (18, 8, B)."""
     c = jnp.asarray(_C_MONT, dtype=jnp.uint32)
     state = _external_mix(state)
 
@@ -138,7 +135,7 @@ def permute(state: jax.Array) -> jax.Array:
         return _full_round(s, cr), None
 
     def partial_body(s, cr):
-        return _partial_round(s, cr[0]), None
+        return _partial_round(s, cr[:, 0]), None
 
     state, _ = jax.lax.scan(full_body, state, c[:_HALF_F])
     state, _ = jax.lax.scan(partial_body, state, c[_HALF_F:_HALF_F + ROUNDS_P])
@@ -149,26 +146,25 @@ def permute(state: jax.Array) -> jax.Array:
 def hash_n_mont(inputs_mont: jax.Array) -> jax.Array:
     """Batched Poseidon hash of Montgomery-form inputs.
 
-    inputs_mont: (n, B, 16) with 1 <= n <= 7.  Returns (B, 16) Montgomery.
+    inputs_mont: (18, n, B) with 1 <= n <= 7.  Returns (18, B) Montgomery.
     """
-    n = inputs_mont.shape[0]
+    n = inputs_mont.shape[1]
     assert 1 <= n <= RATE
-    b = inputs_mont.shape[1]
-    pad = jnp.zeros((RATE - n, b, F.N_LIMBS), dtype=jnp.uint32)
-    cap = jnp.broadcast_to(jnp.asarray(_CAP_MONT[n], jnp.uint32), (1, b, F.N_LIMBS))
-    state = jnp.concatenate([inputs_mont, pad, cap], axis=0)
-    return permute(state)[0]
+    b = inputs_mont.shape[2]
+    pad = jnp.zeros((F.N_LIMBS, RATE - n, b), dtype=jnp.uint32)
+    cap = jnp.broadcast_to(jnp.asarray(_CAP_MONT[n], jnp.uint32)[:, None, None],
+                           (F.N_LIMBS, 1, b))
+    state = jnp.concatenate([inputs_mont, pad, cap], axis=1)
+    return permute(state)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def hash_n(inputs: jax.Array, n: int | None = None) -> jax.Array:
+@jax.jit
+def hash_n(inputs: jax.Array) -> jax.Array:
     """Batched Poseidon hash of canonical-form inputs.
 
-    inputs: (n, B, 16) canonical limbs; returns (B, 16) canonical limbs.
+    inputs: (18, n, B) canonical limbs; returns (18, B) canonical limbs.
     Mirrors ``hash_variable_length`` (shielder_bindings/src/utils.rs:14-30).
     """
-    if n is None:
-        n = inputs.shape[0]
     m = F.to_mont(F.FR, inputs)
     out = hash_n_mont(m)
     return F.from_mont(F.FR, out)
