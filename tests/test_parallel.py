@@ -1,0 +1,63 @@
+"""Sharded kernels on the virtual 8-device CPU mesh vs golden oracles."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkos_tpu.ops import curve as C
+from zkos_tpu.ops import curve_golden as cg
+from zkos_tpu.ops import field as F
+from zkos_tpu.ops import field_golden as G
+from zkos_tpu.ops import ntt as NTT
+from zkos_tpu.ops import poseidon2 as P2
+from zkos_tpu.parallel import mesh as mesh_mod
+from zkos_tpu.parallel import sharded
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return mesh_mod.data_mesh(8)
+
+
+def test_sharded_hash_matches_golden(mesh):
+    random.seed(1)
+    vals = [[random.randrange(G.FR_MODULUS) for _ in range(7)] for _ in range(16)]
+    arr = np.stack(
+        [np.stack([F.to_limbs(vals[b][i]) for b in range(16)], axis=-1)
+         for i in range(7)], axis=1)
+    out = sharded.sharded_hash_n(mesh, jnp.asarray(arr, dtype=jnp.uint32))
+    got = [F.from_limbs(np.asarray(out)[:, b]) for b in range(16)]
+    assert got == [P2.hash_ints(v) for v in vals]
+
+
+def test_sharded_msm_matches_golden(mesh):
+    random.seed(2)
+    n = 64
+    sc = [random.randrange(G.FR_MODULUS) for _ in range(n)]
+    pts = [cg.scalar_mul(random.randrange(1, 1 << 40), cg.GEN) for _ in range(n)]
+    out = sharded.sharded_msm(
+        mesh, jnp.asarray(C.point_from_affine_ints(pts)),
+        jnp.asarray(F.to_limbs(sc)), c=6)
+    assert C.point_to_affine_ints(out) == cg.msm(sc, pts)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_four_step_ntt_matches_plain(mesh, inverse):
+    random.seed(3)
+    n1 = n2 = 16
+    n = n1 * n2
+    vals = [random.randrange(G.FR_MODULUS) for _ in range(n)]
+    a = jnp.asarray(F.to_limbs(vals), dtype=jnp.uint32)
+    am = F.to_mont(F.FR, a)
+
+    mat = sharded.coeffs_to_matrix(am, n1, n2)
+    d = sharded.sharded_ntt_4step(mesh, mat, inverse=inverse)
+    got_m = sharded.matrix_to_naturals(d)
+    got = F.from_limbs(np.asarray(F.from_mont(F.FR, got_m)))
+
+    exp_m = NTT.ntt_mont(F.FR, am, inverse=inverse)
+    exp = F.from_limbs(np.asarray(F.from_mont(F.FR, exp_m)))
+    assert got == exp
