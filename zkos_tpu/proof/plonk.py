@@ -1,0 +1,862 @@
+"""PLONKish proving system (halo2-shaped) with KZG/BDFG21 over BN254.
+
+A from-scratch prover/verifier pair whose **proof wire format and
+verification equation follow the reference's generated Solidity verifier**
+(the complete verification algorithm is reconstructable in-repo from
+crates/halo2-verifier/src/lib/codegen/*; file:line cites below):
+
+- transcript flow & proof layout: ConstraintSystemMeta::num_advices /
+  num_challenges / proof_len (codegen/util.rs:133-188), phase loop in
+  templates/Halo2Verifier.sol:265-320;
+- challenge schedule (no lookups, single phase): advice commitments ->
+  theta, beta, gamma (merged squeeze, util.rs:146-166) -> permutation z
+  commitments + random commitment -> y -> quotient piece commitments -> x ->
+  evaluations -> zeta, nu -> W -> mu -> W';
+- gate + permutation quotient identity: codegen/evaluator.rs:45-120
+  (l_0(1-z_first), l_last(z_last^2-z_last), chunk-boundary continuity,
+  per-chunk grand-product rows masked by 1-(l_last+l_blind)), folded with
+  Horner in y (codegen.rs:237-248), divided by x^n - 1;
+- delta = GENERATOR^(2^S) coset tag (templates/Halo2Verifier.sol:475);
+- quotient commitment folded by x^n from the last piece
+  (templates/Halo2Verifier.sol:496-514);
+- BDFG21/SHPLONK multiopen: rotation-set grouping, zeta-combination inside
+  sets, nu across sets, normalization d_s = Z_0(mu)/Z_s(mu), W/W' pairing
+  arrangement e(F - Z_0(mu) W + mu W', G2) * e(W', -s G2) = 1
+  (codegen/pcs/bdfg21.rs:21-416, query order codegen/pcs.rs:60-104).
+
+Host-golden engine (python ints) for correctness; commitments can run on
+device (ops.msm) via DeviceSrs.  Lookup arguments: not yet (the three
+Shielder circuits in this framework are formulated lookup-free).
+"""
+
+from __future__ import annotations
+
+import random as _random
+from dataclasses import dataclass, field as dc_field
+
+from ..ops import curve_golden as cg
+from ..ops import field_golden as G
+from ..ops import pairing_golden as PG
+from ..ops.keccak import keccak256
+from . import domain as dom
+from . import srs as srs_mod
+from .transcript import Transcript, TranscriptRead
+
+P = G.FR_MODULUS
+
+
+# ---------------------------------------------------------------------------
+# expressions
+# ---------------------------------------------------------------------------
+
+class Expr:
+    def __add__(self, o):
+        return Sum(self, _lift(o))
+
+    def __radd__(self, o):
+        return Sum(_lift(o), self)
+
+    def __sub__(self, o):
+        return Sum(self, Scaled(_lift(o), P - 1))
+
+    def __rsub__(self, o):
+        return Sum(_lift(o), Scaled(self, P - 1))
+
+    def __mul__(self, o):
+        o = _lift(o)
+        if isinstance(o, Constant):
+            return Scaled(self, o.value)
+        return Prod(self, o)
+
+    def __rmul__(self, o):
+        return self.__mul__(o)
+
+    def __neg__(self):
+        return Scaled(self, P - 1)
+
+
+def _lift(x) -> "Expr":
+    return x if isinstance(x, Expr) else Constant(x % P)
+
+
+@dataclass(frozen=True)
+class Constant(Expr):
+    value: int
+
+
+@dataclass(frozen=True)
+class Fixed(Expr):
+    index: int
+    rot: int = 0
+
+
+@dataclass(frozen=True)
+class Advice(Expr):
+    index: int
+    rot: int = 0
+
+
+@dataclass(frozen=True)
+class Instance(Expr):
+    """The single public-input column, queried at rotation 0 only
+    (the generated verifier exposes exactly one INSTANCE_EVAL)."""
+
+
+@dataclass(frozen=True)
+class Sum(Expr):
+    a: Expr
+    b: Expr
+
+
+@dataclass(frozen=True)
+class Prod(Expr):
+    a: Expr
+    b: Expr
+
+
+@dataclass(frozen=True)
+class Scaled(Expr):
+    e: Expr
+    k: int
+
+
+def expr_degree(e: Expr) -> int:
+    if isinstance(e, Constant):
+        return 0
+    if isinstance(e, (Fixed, Advice, Instance)):
+        return 1
+    if isinstance(e, Sum):
+        return max(expr_degree(e.a), expr_degree(e.b))
+    if isinstance(e, Prod):
+        return expr_degree(e.a) + expr_degree(e.b)
+    if isinstance(e, Scaled):
+        return expr_degree(e.e)
+    raise TypeError(e)
+
+
+def expr_eval(e: Expr, fixed, advice, instance, add, mul, const):
+    """Generic evaluator: fixed/advice are (index, rot) -> value callables."""
+    if isinstance(e, Constant):
+        return const(e.value)
+    if isinstance(e, Fixed):
+        return fixed(e.index, e.rot)
+    if isinstance(e, Advice):
+        return advice(e.index, e.rot)
+    if isinstance(e, Instance):
+        return instance()
+    if isinstance(e, Sum):
+        return add(expr_eval(e.a, fixed, advice, instance, add, mul, const),
+                   expr_eval(e.b, fixed, advice, instance, add, mul, const))
+    if isinstance(e, Prod):
+        return mul(expr_eval(e.a, fixed, advice, instance, add, mul, const),
+                   expr_eval(e.b, fixed, advice, instance, add, mul, const))
+    if isinstance(e, Scaled):
+        return mul(expr_eval(e.e, fixed, advice, instance, add, mul, const),
+                   const(e.k))
+    raise TypeError(e)
+
+
+def _walk_queries(e: Expr, advice_q: list, fixed_q: list):
+    if isinstance(e, Fixed):
+        if (e.index, e.rot) not in fixed_q:
+            fixed_q.append((e.index, e.rot))
+    elif isinstance(e, Advice):
+        if (e.index, e.rot) not in advice_q:
+            advice_q.append((e.index, e.rot))
+    elif isinstance(e, Sum) or isinstance(e, Prod):
+        _walk_queries(e.a, advice_q, fixed_q)
+        _walk_queries(e.b, advice_q, fixed_q)
+    elif isinstance(e, Scaled):
+        _walk_queries(e.e, advice_q, fixed_q)
+
+
+# ---------------------------------------------------------------------------
+# constraint system
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Column:
+    kind: str  # "fixed" | "advice" | "instance"
+    index: int = 0
+
+
+@dataclass
+class ConstraintSystem:
+    """Circuit shape: columns, gates, copy constraints."""
+
+    k: int
+    num_fixed: int
+    num_advice: int
+    gates: list = dc_field(default_factory=list)  # [(name, [Expr])]
+    permutation_columns: list = dc_field(default_factory=list)  # [Column]
+    copies: list = dc_field(default_factory=list)  # [(Column, row, Column, row)]
+
+    # -- derived meta (mirrors ConstraintSystemMeta, codegen/util.rs:42-131) --
+
+    def degree(self) -> int:
+        gd = max([expr_degree(e) for _, es in self.gates for e in es] + [0])
+        return max(3, gd)
+
+    def advice_queries(self) -> list:
+        aq, fq = [], []
+        for _, es in self.gates:
+            for e in es:
+                _walk_queries(e, aq, fq)
+        for col in self.permutation_columns:
+            if col.kind == "advice" and (col.index, 0) not in aq:
+                aq.append((col.index, 0))
+        return aq
+
+    def fixed_queries(self) -> list:
+        aq, fq = [], []
+        for _, es in self.gates:
+            for e in es:
+                _walk_queries(e, aq, fq)
+        for col in self.permutation_columns:
+            if col.kind == "fixed" and (col.index, 0) not in fq:
+                fq.append((col.index, 0))
+        return fq
+
+    def permutation_chunk_len(self) -> int:
+        return self.degree() - 2
+
+    def num_permutation_zs(self) -> int:
+        cl = self.permutation_chunk_len()
+        return -(-len(self.permutation_columns) // cl) if self.permutation_columns else 0
+
+    def num_quotients(self) -> int:
+        return self.degree() - 1
+
+    def blinding_factors(self) -> int:
+        """max(3, max #rotations per advice column) + 2 (halo2 v0.3 rule)."""
+        per_col: dict[int, int] = {}
+        for idx, _rot in self.advice_queries():
+            per_col[idx] = per_col.get(idx, 0) + 1
+        return max(3, max(per_col.values(), default=1)) + 2
+
+    def rotation_last(self) -> int:
+        return -(self.blinding_factors() + 1)
+
+    def usable_rows(self) -> int:
+        return (1 << self.k) - (self.blinding_factors() + 1)
+
+
+# ---------------------------------------------------------------------------
+# keygen
+# ---------------------------------------------------------------------------
+
+@dataclass
+class VerifyingKey:
+    cs: ConstraintSystem
+    domain: dom.Domain
+    fixed_comms: list
+    permutation_comms: list
+    fixed_polys: list  # coeff form (verifier doesn't need them; kept for vk digest)
+    vk_digest: int
+    g2: tuple
+    s_g2: tuple
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    srs: srs_mod.Srs
+    fixed_values: list  # lagrange
+    sigma_values: list  # lagrange, one list per permutation column
+    sigma_polys: list
+
+
+def _commit(srs: srs_mod.Srs, coeffs: list[int]):
+    from . import kzg
+
+    return kzg.commit_ints(srs, coeffs)
+
+
+def _perm_mapping(cs: ConstraintSystem):
+    """Copy-constraint cycles -> sigma mapping per (column, row).
+
+    Classic construction: identity mapping + cycle merge by swapping the
+    successors of the two joined positions (guarded by union-find so a
+    same-cycle copy doesn't split the cycle).
+    """
+    n = 1 << cs.k
+    cols = {c: i for i, c in enumerate(cs.permutation_columns)}
+    mapping = [[(ci, r) for r in range(n)] for ci in range(len(cols))]
+    parent: dict[tuple, tuple] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for ca, ra, cb, rb in cs.copies:
+        a = (cols[ca], ra)
+        b = (cols[cb], rb)
+        fa, fb = find(a), find(b)
+        if fa == fb:
+            continue
+        parent[fa] = fb
+        mapping[a[0]][a[1]], mapping[b[0]][b[1]] = (
+            mapping[b[0]][b[1]], mapping[a[0]][a[1]])
+    return mapping
+
+
+def keygen(cs: ConstraintSystem, srs: srs_mod.Srs,
+           fixed_values: list[list[int]]) -> tuple[ProvingKey, VerifyingKey]:
+    """fixed_values: num_fixed lists of n ints (lagrange basis)."""
+    n = 1 << cs.k
+    assert srs.n >= n, "SRS too small for circuit"
+    domain = dom.Domain(cs.k, quotient_degree=cs.degree())
+    assert len(fixed_values) == cs.num_fixed
+
+    fixed_polys = [domain.lagrange_to_coeff(v) for v in fixed_values]
+    fixed_comms = [_commit(srs, p) for p in fixed_polys]
+
+    mapping = _perm_mapping(cs)
+    omega_pows = [pow(domain.omega, r, P) for r in range(n)]
+    delta_pows = [pow(dom.DELTA, i, P) for i in range(len(cs.permutation_columns))]
+    sigma_values = [
+        [delta_pows[ci2] * omega_pows[r2] % P for (ci2, r2) in mapping[ci]]
+        for ci in range(len(cs.permutation_columns))]
+    sigma_polys = [domain.lagrange_to_coeff(v) for v in sigma_values]
+    permutation_comms = [_commit(srs, p) for p in sigma_polys]
+
+    # vk digest: framework-defined binding of the full verifying key
+    h = bytearray()
+    h += cs.k.to_bytes(4, "big") + cs.num_fixed.to_bytes(4, "big")
+    h += cs.num_advice.to_bytes(4, "big") + len(cs.gates).to_bytes(4, "big")
+    h += domain.omega.to_bytes(32, "big")
+    for pt in fixed_comms + permutation_comms:
+        x, y = pt if pt is not None else (0, 0)
+        h += x.to_bytes(32, "big") + y.to_bytes(32, "big")
+    vk_digest = int.from_bytes(keccak256(bytes(h)), "big") % P
+
+    vk = VerifyingKey(cs=cs, domain=domain, fixed_comms=fixed_comms,
+                      permutation_comms=permutation_comms,
+                      fixed_polys=fixed_polys, vk_digest=vk_digest,
+                      g2=srs.g2, s_g2=srs.s_g2)
+    pk = ProvingKey(vk=vk, srs=srs, fixed_values=fixed_values,
+                    sigma_values=sigma_values, sigma_polys=sigma_polys)
+    return pk, vk
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+def _column_values(kind: str, index: int, fixed, advice, instance_vals):
+    if kind == "fixed":
+        return fixed[index]
+    if kind == "advice":
+        return advice[index]
+    return instance_vals
+
+
+def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
+          rng: _random.Random | None = None) -> bytes:
+    """advice_values: num_advice lists of n ints (lagrange, unblinded)."""
+    cs = pk.vk.cs
+    d = pk.vk.domain
+    n = d.n
+    rng = rng or _random.Random(42)
+    bf = cs.blinding_factors()
+    u = cs.usable_rows()  # last usable row index + ... rows 0..u-1 free, u = z boundary
+    tr = Transcript(vk_digest=pk.vk.vk_digest)
+
+    instance_vals = [x % P for x in instances] + [0] * (n - len(instances))
+    for x in instances:
+        tr.common_scalar(x % P)
+
+    # -- phase 1: advice commitments --
+    advice = [list(col) for col in advice_values]
+    for col in advice:
+        assert len(col) == n
+        for r in range(n - bf, n):
+            col[r] = rng.randrange(P)  # blinding rows
+    advice_polys = [d.lagrange_to_coeff(col) for col in advice]
+    for p in advice_polys:
+        tr.write_point(_commit(pk.srs, p))
+    _theta = tr.squeeze_challenge()
+    beta = tr.squeeze_challenge_cont()
+    gamma = tr.squeeze_challenge_cont()
+
+    # -- phase 2: permutation grand products + random poly --
+    fixed = pk.fixed_values
+    perm_cols = cs.permutation_columns
+    chunk_len = cs.permutation_chunk_len()
+    chunks = [perm_cols[i : i + chunk_len]
+              for i in range(0, len(perm_cols), chunk_len)]
+    omega_pows = [pow(d.omega, r, P) for r in range(n)]
+
+    z_values_all = []
+    running = 1
+    col_offset = 0
+    for chunk in chunks:
+        zv = [0] * n
+        zv[0] = running
+        for r in range(u):
+            num = den = 1
+            for j, col in enumerate(chunk):
+                v = _column_values(col.kind, col.index, fixed, advice,
+                                   instance_vals)[r]
+                tag = pow(dom.DELTA, col_offset + j, P) * omega_pows[r] % P
+                sig = pk.sigma_values[col_offset + j][r]
+                num = num * ((v + beta * tag + gamma) % P) % P
+                den = den * ((v + beta * sig + gamma) % P) % P
+            zv[r + 1] = zv[r] * num % P * pow(den, P - 2, P) % P
+        running = zv[u]
+        for r in range(u + 1, n):
+            zv[r] = rng.randrange(P)
+        z_values_all.append(zv)
+        col_offset += len(chunk)
+    z_polys = [d.lagrange_to_coeff(zv) for zv in z_values_all]
+    for p in z_polys:
+        tr.write_point(_commit(pk.srs, p))
+
+    random_poly = [rng.randrange(P) for _ in range(n)]
+    tr.write_point(_commit(pk.srs, random_poly))
+    y = tr.squeeze_challenge()
+
+    # -- phase 3: quotient --
+    numer_exprs = _quotient_rows(cs)
+    ext_n = d.extended_n
+
+    def ext(coeffs):
+        return d.coeff_to_extended_coset(coeffs)
+
+    fixed_ext = [ext(p) for p in pk.vk.fixed_polys]
+    advice_ext = [ext(p) for p in advice_polys]
+    instance_ext = ext(d.lagrange_to_coeff(instance_vals))
+    z_ext = [ext(p) for p in z_polys]
+    sigma_ext = [ext(p) for p in pk.sigma_polys]
+    l0_ext = ext(d.lagrange_to_coeff([1] + [0] * (n - 1)))
+    llast_ext = ext(d.lagrange_to_coeff([1 if r == u else 0 for r in range(n)]))
+    lblind_ext = ext(d.lagrange_to_coeff(
+        [1 if r > u else 0 for r in range(n)]))
+    rot_step = ext_n // n
+
+    def rotate(vec, rot):
+        s = (rot * rot_step) % ext_n
+        return vec[s:] + vec[:s]
+
+    ctx = _EvalCtx(
+        fixed=lambda i, rot: rotate(fixed_ext[i], rot),
+        advice=lambda i, rot: rotate(advice_ext[i], rot),
+        instance=lambda: instance_ext,
+        z=lambda i, rot: rotate(z_ext[i], rot),
+        sigma=lambda i: sigma_ext[i],
+        l0=l0_ext, llast=llast_ext, lblind=lblind_ext,
+        x_vec=[d.coset * pow(d.extended_omega, i, P) % P for i in range(ext_n)],
+        beta=beta, gamma=gamma,
+        vec_len=ext_n)
+    numer = [0] * ext_n
+    for expr_fn in numer_exprs:
+        vals = expr_fn(ctx)
+        numer = [(acc * y + v) % P for acc, v in zip(numer, vals)]
+
+    zh_inv = [pow((pow(x, n, P) - 1) % P, P - 2, P) for x in ctx.x_vec]
+    t_ext = [nu * zi % P for nu, zi in zip(numer, zh_inv)]
+    t_coeffs = d.extended_coset_to_coeff(t_ext)
+    num_q = cs.num_quotients()
+    assert all(c == 0 for c in t_coeffs[num_q * n :]), "quotient degree overflow"
+    t_pieces = [t_coeffs[i * n : (i + 1) * n] for i in range(num_q)]
+    for piece in t_pieces:
+        tr.write_point(_commit(pk.srs, piece))
+    x = tr.squeeze_challenge()
+
+    # -- evaluations --
+    x_n = pow(x, n, P)
+    aq = cs.advice_queries()
+    fq = cs.fixed_queries()
+    for idx, rot in aq:
+        tr.write_scalar(dom.poly_eval(advice_polys[idx], d.rotated_point(x, rot)))
+    for idx, rot in fq:
+        tr.write_scalar(dom.poly_eval(pk.vk.fixed_polys[idx], d.rotated_point(x, rot)))
+    tr.write_scalar(dom.poly_eval(random_poly, x))
+    for sp in pk.sigma_polys:
+        tr.write_scalar(dom.poly_eval(sp, x))
+    nz = len(z_polys)
+    rot_last = cs.rotation_last()
+    for i, zp in enumerate(z_polys):
+        tr.write_scalar(dom.poly_eval(zp, x))
+        tr.write_scalar(dom.poly_eval(zp, d.rotated_point(x, 1)))
+        if i < nz - 1:
+            tr.write_scalar(dom.poly_eval(zp, d.rotated_point(x, rot_last)))
+
+    # -- BDFG21 multiopen --
+    zeta = tr.squeeze_challenge()
+    nu = tr.squeeze_challenge_cont()
+
+    t_fold = [0] * n
+    for i in range(num_q - 1, -1, -1):
+        t_fold = [(acc * x_n + c) % P for acc, c in zip(t_fold, t_pieces[i])]
+
+    queries = _open_queries(cs, advice_polys, z_polys, pk.sigma_polys,
+                            pk.vk.fixed_polys, t_fold, random_poly)
+    sets = _rotation_sets(queries)
+
+    h_poly = [0]
+    nu_pow = 1
+    set_polys = []
+    for rots, polys in sets:
+        f_s = [0] * max(len(p) for p in polys)
+        zpow = 1
+        for p in polys:
+            for i2, c in enumerate(p):
+                f_s[i2] = (f_s[i2] + zpow * c) % P
+            zpow = zpow * zeta % P
+        pts = [d.rotated_point(x, rot) for rot in rots]
+        vals = [dom.poly_eval(f_s, pt) for pt in pts]
+        r_s = dom.lagrange_interpolate(pts, vals)
+        q_s = [(a - b) % P for a, b in
+               zip(f_s, r_s + [0] * (len(f_s) - len(r_s)))]
+        for pt in pts:
+            q_s = dom.poly_divide_linear(q_s, pt)
+        set_polys.append((f_s, r_s, pts))
+        if len(q_s) > len(h_poly):
+            h_poly += [0] * (len(q_s) - len(h_poly))
+        for i2, c in enumerate(q_s):
+            h_poly[i2] = (h_poly[i2] + nu_pow * c) % P
+        nu_pow = nu_pow * nu % P
+
+    tr.write_point(_commit(pk.srs, h_poly))
+    mu = tr.squeeze_challenge()
+
+    z0_mu = 1
+    for pt in set_polys[0][2]:
+        z0_mu = z0_mu * ((mu - pt) % P) % P
+    l_poly = [(-z0_mu * c) % P for c in h_poly]
+    nu_pow = 1
+    for f_s, r_s, pts in set_polys:
+        zs_mu = 1
+        for pt in pts:
+            zs_mu = zs_mu * ((mu - pt) % P) % P
+        d_s = z0_mu * pow(zs_mu, P - 2, P) % P
+        scale = nu_pow * d_s % P
+        if len(f_s) > len(l_poly):
+            l_poly += [0] * (len(f_s) - len(l_poly))
+        for i2, c in enumerate(f_s):
+            l_poly[i2] = (l_poly[i2] + scale * c) % P
+        l_poly[0] = (l_poly[0] - scale * dom.poly_eval(r_s, mu)) % P
+        nu_pow = nu_pow * nu % P
+    assert dom.poly_eval(l_poly, mu) == 0, "BDFG21 L(mu) != 0"
+    w_prime = dom.poly_divide_linear(l_poly, mu)
+    tr.write_point(_commit(pk.srs, w_prime))
+
+    return bytes(tr.proof)
+
+
+@dataclass
+class _EvalCtx:
+    fixed: object
+    advice: object
+    instance: object
+    z: object
+    sigma: object
+    l0: list
+    llast: list
+    lblind: list
+    x_vec: list
+    beta: int
+    gamma: int
+    vec_len: int
+
+
+def _quotient_rows(cs: ConstraintSystem):
+    """Ordered list of vectorized numerator-row evaluators.
+
+    Order matches the generated verifier's quotient_eval_numer chain
+    (codegen.rs:237-248 over evaluator.rs gate_computations then
+    permutation_computations) — the y-Horner order is normative.
+    """
+    rows = []
+
+    def vec_add(a, b):
+        return [(x + y2) % P for x, y2 in zip(a, b)]
+
+    def vec_mul(a, b):
+        return [(x * y2) % P for x, y2 in zip(a, b)]
+
+    def vec_const_fn(ctx):
+        return lambda v: [v] * ctx.vec_len
+
+    for _name, exprs in cs.gates:
+        for e in exprs:
+            rows.append(lambda ctx, e=e: expr_eval(
+                e, ctx.fixed, ctx.advice, ctx.instance,
+                vec_add, vec_mul, vec_const_fn(ctx)))
+
+    nz = cs.num_permutation_zs()
+    if nz == 0:
+        return rows
+    chunk_len = cs.permutation_chunk_len()
+    chunks = [cs.permutation_columns[i : i + chunk_len]
+              for i in range(0, len(cs.permutation_columns), chunk_len)]
+    rot_last = cs.rotation_last()
+
+    # l_0 * (1 - z_first)
+    rows.append(lambda ctx: [
+        l0 * (1 - z0) % P for l0, z0 in zip(ctx.l0, ctx.z(0, 0))])
+    # l_last * (z_last^2 - z_last)
+    rows.append(lambda ctx: [
+        ll * (zl * zl - zl) % P
+        for ll, zl in zip(ctx.llast, ctx.z(nz - 1, 0))])
+    # chunk continuity: l_0 * (z_j - z_i(rot_last))
+    for j in range(1, nz):
+        rows.append(lambda ctx, j=j: [
+            l0 * (zj - zi) % P for l0, zj, zi in
+            zip(ctx.l0, ctx.z(j, 0), ctx.z(j - 1, rot_last))])
+
+    # per-chunk grand product rows
+    col_offset = 0
+    for ci, chunk in enumerate(chunks):
+        def prod_row(ctx, ci=ci, chunk=chunk, col_offset=col_offset):
+            lhs = ctx.z(ci, 1)
+            rhs = ctx.z(ci, 0)
+            for j, col in enumerate(chunk):
+                if col.kind == "fixed":
+                    v = ctx.fixed(col.index, 0)
+                elif col.kind == "advice":
+                    v = ctx.advice(col.index, 0)
+                else:
+                    v = ctx.instance()
+                sig = ctx.sigma(col_offset + j)
+                lhs = [l * ((vv + ctx.beta * s + ctx.gamma) % P) % P
+                       for l, vv, s in zip(lhs, v, sig)]
+                dpow = pow(dom.DELTA, col_offset + j, P)
+                rhs = [rr * ((vv + ctx.beta * dpow % P * xx + ctx.gamma) % P) % P
+                       for rr, vv, xx in zip(rhs, v, ctx.x_vec)]
+            return [((l - rr) * (1 - (ll + lb)) % P)
+                    for l, rr, ll, lb in zip(lhs, rhs, ctx.llast, ctx.lblind)]
+
+        rows.append(prod_row)
+        col_offset += len(chunk)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# opening queries & rotation sets (shared by prover and verifier)
+# ---------------------------------------------------------------------------
+
+def _open_queries(cs, advice_polys, z_polys, sigma_polys, fixed_polys,
+                  t_fold, random_poly):
+    """Ordered (poly_key, rot, poly) per codegen/pcs.rs:60-104."""
+    out = []
+    nz = len(z_polys)
+    rot_last = cs.rotation_last()
+    for idx, rot in cs.advice_queries():
+        out.append((("advice", idx), rot, advice_polys[idx]))
+    for i, zp in enumerate(z_polys):
+        out.append((("perm_z", i), 0, zp))
+        out.append((("perm_z", i), 1, zp))
+    for i in range(nz - 2, -1, -1):
+        out.append((("perm_z", i), rot_last, z_polys[i]))
+    for idx, rot in cs.fixed_queries():
+        out.append((("fixed", idx), rot, fixed_polys[idx]))
+    for i, sp in enumerate(sigma_polys):
+        out.append((("sigma", i), 0, sp))
+    out.append((("quotient", 0), 0, t_fold))
+    out.append((("random", 0), 0, random_poly))
+    return out
+
+
+def _rotation_sets(queries):
+    """Group by commitment then by equal rot-sets (bdfg21.rs:438-494).
+
+    Returns [(sorted_rots, [poly...])] — poly order = first appearance.
+    """
+    comm_queries = []
+    for key, rot, poly in queries:
+        for entry in comm_queries:
+            if entry[0] == key:
+                assert rot not in entry[1]
+                entry[1][rot] = None
+                break
+        else:
+            comm_queries.append((key, {rot: None}, poly))
+    sets = []
+    for key, rotmap, poly in comm_queries:
+        rots = sorted(rotmap.keys())
+        for s in sets:
+            if s[0] == rots:
+                s[1].append(poly)
+                break
+        else:
+            sets.append((rots, [poly]))
+    return sets
+
+
+def _verifier_rotation_sets(queries):
+    """Same grouping, but entries carry (rot -> eval) and commitments.
+
+    queries: [(key, rot, comm, eval)].
+    Returns [(sorted_rots, [comm...], [[evals sorted by rot]...])].
+    """
+    comm_queries = []
+    for key, rot, comm, ev in queries:
+        for entry in comm_queries:
+            if entry[0] == key:
+                entry[2][rot] = ev
+                break
+        else:
+            comm_queries.append((key, comm, {rot: ev}))
+    sets = []
+    for key, comm, rotmap in comm_queries:
+        rots = sorted(rotmap.keys())
+        evals = [rotmap[r] for r in rots]
+        for s in sets:
+            if s[0] == rots:
+                s[1].append(comm)
+                s[2].append(evals)
+                break
+        else:
+            sets.append((rots, [comm], [evals]))
+    return sets
+
+
+# ---------------------------------------------------------------------------
+# verifier (host golden; mirrors the generated Solidity verifier)
+# ---------------------------------------------------------------------------
+
+def verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
+    try:
+        return _verify(vk, proof, instances)
+    except AssertionError:
+        return False
+
+
+def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
+    cs = vk.cs
+    d = vk.domain
+    n = d.n
+    tr = TranscriptRead(proof, vk_digest=vk.vk_digest)
+    for x in instances:
+        assert 0 <= x < P
+        tr.common_scalar(x)
+
+    advice_comms = [tr.read_point() for _ in range(cs.num_advice)]
+    _theta = tr.squeeze_challenge()
+    beta = tr.squeeze_challenge_cont()
+    gamma = tr.squeeze_challenge_cont()
+    nz = cs.num_permutation_zs()
+    z_comms = [tr.read_point() for _ in range(nz)]
+    random_comm = tr.read_point()
+    y = tr.squeeze_challenge()
+    num_q = cs.num_quotients()
+    q_comms = [tr.read_point() for _ in range(num_q)]
+    x = tr.squeeze_challenge()
+
+    aq = cs.advice_queries()
+    fq = cs.fixed_queries()
+    advice_evals = {q: tr.read_scalar() for q in aq}
+    fixed_evals = {q: tr.read_scalar() for q in fq}
+    random_eval = tr.read_scalar()
+    sigma_evals = [tr.read_scalar() for _ in vk.permutation_comms]
+    z_evals = []  # (z@x, z@wx, z@rot_last or None)
+    for i in range(nz):
+        e0 = tr.read_scalar()
+        e1 = tr.read_scalar()
+        e2 = tr.read_scalar() if i < nz - 1 else None
+        z_evals.append((e0, e1, e2))
+
+    # Lagrange + instance machinery (template :399-471)
+    x_n = pow(x, n, P)
+    rot_last = cs.rotation_last()
+    u = n + rot_last  # row index of l_last
+    lag_idx = list(range(rot_last, 0)) + list(range(max(len(instances), 1)))
+    lag = d.lagrange_evals_at(x, [i % n for i in lag_idx])
+    l_0 = lag[0]
+    l_last = lag[u % n]
+    l_blind = sum(lag[i % n] for i in range(rot_last + 1, 0)) % P
+    instance_eval = sum(v * lag[i] for i, v in enumerate(instances)) % P
+
+    # quotient numerator (same Horner order as the prover)
+    def sc_fixed(i, rot):
+        return fixed_evals[(i, rot)]
+
+    def sc_advice(i, rot):
+        return advice_evals[(i, rot)]
+
+    rows = _quotient_rows(cs)
+    ctx = _EvalCtx(
+        fixed=lambda i, rot: [sc_fixed(i, rot)],
+        advice=lambda i, rot: [sc_advice(i, rot)],
+        instance=lambda: [instance_eval],
+        z=lambda i, rot: [z_evals[i][{0: 0, 1: 1, rot_last: 2}[rot]]],
+        sigma=lambda i: [sigma_evals[i]],
+        l0=[l_0], llast=[l_last], lblind=[l_blind],
+        x_vec=[x], beta=beta, gamma=gamma, vec_len=1)
+    numer = 0
+    for row in rows:
+        numer = (numer * y + row(ctx)[0]) % P
+    zh = (x_n - 1) % P
+    quotient_eval = numer * pow(zh, P - 2, P) % P
+
+    # fold quotient commitment by x^n (template :496-514)
+    qc = q_comms[-1]
+    for comm in reversed(q_comms[:-1]):
+        qc = cg.add(cg.scalar_mul(x_n, qc), comm)
+
+    # BDFG21
+    zeta = tr.squeeze_challenge()
+    nu = tr.squeeze_challenge_cont()
+    w = tr.read_point()
+    mu = tr.squeeze_challenge()
+    w_prime = tr.read_point()
+    assert tr.done(), "trailing proof bytes"
+
+    vq = []
+    for idx, rot in aq:
+        vq.append((("advice", idx), rot, advice_comms[idx], advice_evals[(idx, rot)]))
+    for i in range(nz):
+        vq.append((("perm_z", i), 0, z_comms[i], z_evals[i][0]))
+        vq.append((("perm_z", i), 1, z_comms[i], z_evals[i][1]))
+    for i in range(nz - 2, -1, -1):
+        vq.append((("perm_z", i), rot_last, z_comms[i], z_evals[i][2]))
+    for idx, rot in fq:
+        vq.append((("fixed", idx), rot, vk.fixed_comms[idx], fixed_evals[(idx, rot)]))
+    for i, comm in enumerate(vk.permutation_comms):
+        vq.append((("sigma", i), 0, comm, sigma_evals[i]))
+    vq.append((("quotient", 0), 0, qc, quotient_eval))
+    vq.append((("random", 0), 0, random_comm, random_eval))
+
+    sets = _verifier_rotation_sets(vq)
+
+    # F = sum_s nu^s d_s (C_s - r_s(mu) G);  check F - Z_0(mu) W + mu W' vs W'
+    z0_mu = 1
+    for rot in sets[0][0]:
+        z0_mu = z0_mu * ((mu - d.rotated_point(x, rot)) % P) % P
+
+    f_comm = None
+    r_total = 0
+    nu_pow = 1
+    for rots, comms, evals in sets:
+        pts = [d.rotated_point(x, rot) for rot in rots]
+        zs_mu = 1
+        for pt in pts:
+            zs_mu = zs_mu * ((mu - pt) % P) % P
+        d_s = z0_mu * pow(zs_mu, P - 2, P) % P
+        # zeta-combine commitments and evals
+        comb = None
+        zpow = 1
+        comb_evals = [0] * len(pts)
+        for comm, evs in zip(comms, evals):
+            comb = cg.add(comb, cg.scalar_mul(zpow, comm))
+            for i2, ev in enumerate(evs):
+                comb_evals[i2] = (comb_evals[i2] + zpow * ev) % P
+            zpow = zpow * zeta % P
+        r_s = dom.lagrange_interpolate(pts, comb_evals)
+        r_mu = dom.poly_eval(r_s, mu)
+        scale = nu_pow * d_s % P
+        f_comm = cg.add(f_comm, cg.scalar_mul(scale, comb))
+        r_total = (r_total + scale * r_mu) % P
+        nu_pow = nu_pow * nu % P
+
+    lhs = cg.add(f_comm, cg.neg(cg.scalar_mul(r_total, cg.GEN)))
+    lhs = cg.add(lhs, cg.neg(cg.scalar_mul(z0_mu, w)))
+    lhs = cg.add(lhs, cg.scalar_mul(mu, w_prime))
+    return PG.pairing_check([
+        (lhs, vk.g2),
+        (w_prime, PG.g2_neg(vk.s_g2)),
+    ])
