@@ -80,6 +80,17 @@ def test_device_open_verifies(small_srs, dsrs):
     assert kzg.verify(small_srs, com, z, y, w)
 
 
+def test_raw_equals_perpetual():
+    """The reference's own cross-format oracle (powers-of-tau lib.rs:267-281)."""
+    import os
+
+    if not os.path.exists(srs_mod.default_raw_path(11)):
+        pytest.skip("reference raw srs not present")
+    a = srs_mod.read(11, max_points=32)
+    b = srs_mod.read(11, fmt="raw", max_points=32)
+    assert (a.k, a.g1, a.g2, a.s_g2) == (b.k, b.g1, b.g2, b.s_g2)
+
+
 def test_read_reference_ptau():
     """Parse the in-repo reference SRS (k=11) and sanity-check structure."""
     import os

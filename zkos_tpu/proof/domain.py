@@ -74,9 +74,8 @@ class Domain:
         self.n = 1 << k
         self.omega = root_of_unity(self.n)
         self.omega_inv = pow(self.omega, P - 2, P)
-        j = max(1, (quotient_degree).bit_length())
-        while (1 << j) < quotient_degree + 1:
-            j += 1
+        # numerator degree <= d(n-1) -> d*n extended points always suffice
+        j = max(1, (quotient_degree - 1).bit_length())
         self.extended_k = k + j
         self.extended_n = 1 << self.extended_k
         self.extended_omega = root_of_unity(self.extended_n)

@@ -266,10 +266,32 @@ class ProvingKey:
     sigma_polys: list
 
 
+_DEVICE_TABLES: dict = {}
+
+
 def _commit(srs: srs_mod.Srs, coeffs: list[int]):
+    """Commit to coeffs — device Pippenger MSM (golden path: kzg.commit_ints).
+
+    The device G1 table is cached per SRS instance; commitments come back as
+    affine ints so the rest of the host pipeline is unchanged.
+    """
+    if not any(coeffs):
+        return None
+    import jax.numpy as jnp
+
+    from ..ops import curve as C
+    from ..ops import field as F
     from . import kzg
 
-    return kzg.commit_ints(srs, coeffs)
+    key = id(srs)
+    if key not in _DEVICE_TABLES:
+        _DEVICE_TABLES[key] = kzg.DeviceSrs.build(srs)
+    dsrs = _DEVICE_TABLES[key]
+    m = len(coeffs)
+    # pad to the table size so every commit shares one compiled MSM shape
+    padded = list(coeffs) + [0] * (dsrs.n - m)
+    out = kzg.commit(dsrs, jnp.asarray(F.to_limbs(padded), dtype=jnp.uint32), c=8)
+    return C.point_to_affine_ints(out)
 
 
 def _perm_mapping(cs: ConstraintSystem):

@@ -96,12 +96,51 @@ def read_ptau(path: str, max_points: int | None = None) -> Srs:
     return Srs(k=k, g1=g1, g2=g2_pts[0], s_g2=g2_pts[1])
 
 
-def read(k: int | None = None, path: str | None = None,
+def read_raw(path: str, max_points: int | None = None) -> Srs:
+    """Parse the halo2 RawBytes params dump (``ppot_0080_{k}_raw``).
+
+    Layout (halo2 ParamsKZG::write_custom(SerdeFormat::RawBytes)): u32 LE k,
+    then n G1 monomial powers and n G1 Lagrange points of (x, y) 32-byte LE
+    Montgomery coordinates, then g2 and s_g2 as four Fq2 halves each.  The
+    Lagrange table is skipped — this framework derives Lagrange commits via
+    iNTT (see commit_lagrange).  Oracle: raw_equals_perpetual
+    (powers-of-tau lib.rs:267-281).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    k = struct.unpack_from("<I", data, 0)[0]
+    n = 1 << k
+    want = n if max_points is None else min(max_points, n)
+    g1 = []
+    for i in range(want):
+        x = _read_fq_mont(data, 4 + 64 * i)
+        y = _read_fq_mont(data, 4 + 64 * i + 32)
+        pt = None if x == 0 and y == 0 else (x, y)
+        assert cg.is_on_curve(pt), f"raw G1[{i}] off-curve"
+        g1.append(pt)
+    g2_off = 4 + 64 * 2 * n
+    g2_pts = []
+    for i in range(2):
+        base = g2_off + 128 * i
+        x = (_read_fq_mont(data, base), _read_fq_mont(data, base + 32))
+        y = (_read_fq_mont(data, base + 64), _read_fq_mont(data, base + 96))
+        g2_pts.append((x, y))
+    return Srs(k=k, g1=g1, g2=g2_pts[0], s_g2=g2_pts[1])
+
+
+def default_raw_path(k: int) -> str:
+    base = os.environ.get("PTAU_RESOURCES_DIR", "/root/reference/resources")
+    return os.path.join(base, f"ppot_0080_{k}_raw")
+
+
+def read(k: int | None = None, path: str | None = None, fmt: str = "ptau",
          max_points: int | None = None) -> Srs:
     """Entry point mirroring powers_of_tau::read (lib.rs:61-74)."""
     if path is None:
         assert k is not None
-        path = default_ptau_path(k)
+        path = default_ptau_path(k) if fmt == "ptau" else default_raw_path(k)
+    if fmt == "raw":
+        return read_raw(path, max_points=max_points)
     return read_ptau(path, max_points=max_points)
 
 

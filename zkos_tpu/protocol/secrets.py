@@ -36,15 +36,20 @@ def derive_id(private_key: int, chain_id: int, account_nonce: int) -> int:
 
 
 def generate_user_id(id_seed: int) -> int:
-    """Map an id seed to the account id ("on-curve id").
+    """Map an id seed to the account id — an "on-curve id".
 
     The reference's ``shielder_circuits::generate_user_id`` lives in the
-    external non-vendored crate (SURVEY.md §2.1); its in-repo usage
-    (shielder-account/src/lib.rs:56, shielder_bindings/src/secrets.rs:39)
-    shows only the signature seed-bytes -> Fr.  This framework defines it as
-    Poseidon2 hash::<1>([seed]) — deterministic, uniform in Fr, and matching
-    the call shape; documented as a reconstructed (not bit-pinned) choice.
+    external non-vendored crate; its in-repo usage calls it the "on curve
+    id" (shielder_bindings/src/secrets.rs:39), i.e. an x-coordinate with a
+    point on Grumpkin, so the account's viewing-key point ``lift_x(id)``
+    exists for ElGamal encryption (SURVEY.md A.4).  This framework defines
+    it as try-and-increment from Poseidon2 hash::<1>([seed]) — a documented
+    reconstruction (not bit-pinned to the external crate).
     """
+    from ..ops import grumpkin_golden as GR
     from ..ops.poseidon2 import hash_ints
 
-    return hash_ints([id_seed % FIELD_MODULUS])
+    x = hash_ints([id_seed % FIELD_MODULUS])
+    while GR.lift_x(x) is None:
+        x = (x + 1) % FIELD_MODULUS
+    return x
