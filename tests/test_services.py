@@ -1,0 +1,157 @@
+"""Service plane: relayer fleet, prover protocol, fee estimator, client."""
+
+import http.client
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+from zkos_tpu.ops.poseidon2 import hash_ints
+from zkos_tpu.protocol import contract
+from zkos_tpu.protocol.account import ShielderAction
+from zkos_tpu.srv import client as cl
+from zkos_tpu.srv import fee_estimator as fe
+from zkos_tpu.srv import prover_server as ps
+from zkos_tpu.srv import relayer as rl
+
+OK_VERIFY = lambda proof, pub: True  # noqa: E731
+VERSION = contract.CONTRACT_VERSION
+
+
+def _sim(**kw):
+    return contract.ShielderSim(
+        verify_new_account=OK_VERIFY, verify_deposit=OK_VERIFY,
+        verify_withdraw=OK_VERIFY, ar_pubkey=(1, 2), tree_height=3, **kw)
+
+
+def _seed_account(sim, note=111, pren=None):
+    return sim.new_account_native(
+        expected_version=VERSION, caller=0xAA, amount=100_000, new_note=note,
+        prenullifier=pren if pren is not None else hash_ints([note]),
+        sym_c1=(1, 1), sym_c2=(2, 2), mac_salt=1, mac_commitment=2, proof=b"ok")
+
+
+def _withdraw_request(sim, nullifier_seed, amount=10_000, fee=50):
+    root = sim.get_merkle_path(0)[-1]
+    return {
+        "expected_version": VERSION, "amount": amount,
+        "withdrawal_address": 0xBB, "merkle_root": root,
+        "old_nullifier_hash": hash_ints([nullifier_seed]),
+        "new_note": 222 + nullifier_seed, "proof": b"ok",
+        "relayer_address": 0xCC, "relayer_fee": fee,
+        "mac_salt": 1, "mac_commitment": 2,
+    }
+
+
+def test_relayer_fleet_end_to_end():
+    sim = _sim()
+    _seed_account(sim)
+    tm = rl.Taskmaster(sim, signer_keys=[0xC1, 0xC2])
+    try:
+        tasks = [tm.register_new_task(_withdraw_request(sim, i))
+                 for i in range(5)]
+        for t in tasks:
+            assert t.done.wait(10)
+            assert t.result["status"] == "ok", t.result
+        assert tm.metrics.withdraw_success == 5
+        assert sim.balances[0xCC] == 5 * 50
+        stages = [s for _, s in tasks[0].trace]
+        assert stages[0] == "queued for relay" and stages[-1] == "relay completed"
+        # duplicate nullifier -> dry-run failure recorded
+        dup = tm.register_new_task(_withdraw_request(sim, 0))
+        assert dup.done.wait(10)
+        assert dup.result["status"] == "error"
+        assert "DuplicatedNullifier" in dup.result["reason"]
+        assert tm.metrics.withdraw_dry_run_failure == 1
+    finally:
+        tm.shutdown()
+
+
+def test_relayer_http_endpoints():
+    sim = _sim()
+    _seed_account(sim)
+    tm = rl.Taskmaster(sim, signer_keys=[0xC1])
+    server = rl.make_http_server(tm)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/health")
+        assert json.loads(conn.getresponse().read())["status"] == "healthy"
+        conn.request("GET", "/quote_fees")
+        quote = json.loads(conn.getresponse().read())
+        assert quote["total_fee"] == 2_000_000
+        req = _withdraw_request(sim, 9)
+        req["proof"] = req["proof"].hex()
+        conn.request("POST", "/relay", body=json.dumps(req))
+        resp = json.loads(conn.getresponse().read())
+        assert resp["result"]["status"] == "ok"
+        conn.request("GET", "/metrics")
+        metrics = conn.getresponse().read().decode()
+        assert "zkos_relayer_withdraw_success 1" in metrics
+    finally:
+        server.shutdown()
+        tm.shutdown()
+
+
+def test_prover_protocol_roundtrip():
+    def prove_fn(circuit_type, witness):
+        assert circuit_type == "Withdraw"
+        return b"proof-" + str(witness["x"]).encode(), [witness["x"] + 1]
+
+    srv_sock, cli_sock = socket.socketpair()
+    server = ps.ProverServer(prove_fn=prove_fn)
+    server.serve_in_thread(srv_sock)
+    client = ps.ProverClient(cli_sock)
+    assert client.ping()
+    key = client.tee_public_key()
+    assert key["attestation"]
+    proof, pub = client.generate_proof("Withdraw", {"x": 41})
+    assert proof == b"proof-41" and pub == [42]
+    with pytest.raises(RuntimeError):
+        client.generate_proof("Bogus", {"x": 1})
+
+
+def test_fee_estimator():
+    est = fe.FeeEstimator(gas_price_fn=lambda: 3)
+    est.refresh()
+    assert est.estimates["new_account"]["fee"] == 642_011 * 3
+    server = fe.make_http_server(est)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/get_fees")
+        fees = json.loads(conn.getresponse().read())
+        assert fees["deposit"]["gas"] == 831_764
+    finally:
+        server.shutdown()
+
+
+def test_client_state_file_and_recovery(tmp_path):
+    from zkos_tpu.protocol import secrets
+
+    id_ = secrets.generate_user_id(31337)
+    sim = _sim()
+    # on-chain: new account then a deposit, nullifiers per the chain rule
+    _seed_account(sim, note=501, pren=cl.expected_nullifier_hash(id_, 0))
+    sim.deposit_native(
+        expected_version=VERSION, caller=0xAA, amount=20_000,
+        old_nullifier_hash=cl.expected_nullifier_hash(id_, 1), new_note=502,
+        merkle_root=sim.get_merkle_path(0)[-1], mac_salt=1, mac_commitment=2,
+        proof=b"ok")
+
+    acc = cl.recover_state(id_, sim)
+    assert acc.nonce == 2
+    assert acc.shielded_amount == 120_000
+    assert [a.kind for a in acc.history] == ["new_account", "deposit"]
+
+    state = cl.ClientState(account=acc)
+    path = str(tmp_path / "state.enc")
+    state.save(path, b"pw")
+    loaded = cl.ClientState.load(path, b"pw")
+    assert loaded.account == acc
+    with pytest.raises(AssertionError):
+        cl.ClientState.load(path, b"wrong")

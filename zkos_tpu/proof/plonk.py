@@ -266,17 +266,24 @@ class ProvingKey:
     sigma_polys: list
 
 
+import os as _os
+
 _DEVICE_TABLES: dict = {}
+USE_DEVICE_COMMIT = _os.environ.get("ZKOS_DEVICE_COMMIT", "0") == "1"
 
 
 def _commit(srs: srs_mod.Srs, coeffs: list[int]):
-    """Commit to coeffs — device Pippenger MSM (golden path: kzg.commit_ints).
+    """Commit to coeffs.
 
-    The device G1 table is cached per SRS instance; commitments come back as
-    affine ints so the rest of the host pipeline is unchanged.
+    Default engine: host Jacobian Pippenger (cg.msm_fast) — zero compile
+    cost, fast enough for keygen/tests.  Set ZKOS_DEVICE_COMMIT=1 to route
+    through the device MSM kernel with a cached SRS table (the production
+    path once kernels are compiled/cached).
     """
     if not any(coeffs):
         return None
+    if not USE_DEVICE_COMMIT:
+        return cg.msm_fast(coeffs, srs.g1[: len(coeffs)])
     import jax.numpy as jnp
 
     from ..ops import curve as C

@@ -1,0 +1,238 @@
+"""Withdraw-relay service: REST + multi-signer worker fleet.
+
+Mirrors crates/shielder-relayer (SURVEY.md §2.0): a Taskmaster feeding
+relay workers over an MPMC queue — one worker per signing key
+(taskmaster.rs:75-89) — each doing a dry-run -> submit loop against the
+contract (taskmaster.rs:113-190) with optimistic-dry-run switching after
+OPTIMISTIC_DRY_RUN_THRESHOLD successes (relay/mod.rs:29, monitoring.rs);
+fee quoting gas*price + pocket money + commission (fee.rs:76-118) with a
+TTL'd quote cache (quote_cache.rs); balance monitoring with automatic
+signer recharge from the fee destination (recharge.rs); Prometheus-style
+metric counters (metrics.rs:15-24); /relay, /quote_fees, /fee_address,
+/health, /metrics endpoints (main.rs:207-216) — served over stdlib HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field as dc_field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..protocol.contract import ShielderError, ShielderSim
+
+RELAY_QUEUE_CAPACITY = 1024  # relay/mod.rs:28
+OPTIMISTIC_DRY_RUN_THRESHOLD = 32  # relay/mod.rs:29
+QUOTE_TTL_S = 30.0
+
+
+@dataclass
+class FeeConfig:
+    """fee.rs:76-118 — total = gas * price + pocket_money, plus commission."""
+
+    relay_gas: int = 2_000_000
+    gas_price: int = 1
+    pocket_money: int = 0
+    commission_bps: int = 0
+
+    def quote(self) -> dict:
+        base = self.relay_gas * self.gas_price + self.pocket_money
+        commission = base * self.commission_bps // 10_000
+        return {
+            "base_fee": base,
+            "commission": commission,
+            "total_fee": base + commission,
+            "valid_until": time.time() + QUOTE_TTL_S,
+        }
+
+
+@dataclass
+class Metrics:
+    """Counter names from metrics.rs:15-24."""
+
+    withdraw_success: int = 0
+    withdraw_failure: int = 0
+    withdraw_dry_run_failure: int = 0
+    requests_total: int = 0
+
+    def render(self) -> str:
+        return "".join(
+            f"zkos_relayer_{k} {v}\n" for k, v in vars(self).items())
+
+
+@dataclass
+class RelayTask:
+    request: dict
+    trace: list = dc_field(default_factory=list)
+    done: threading.Event = dc_field(default_factory=threading.Event)
+    result: dict | None = None
+
+    def annotate(self, stage: str):
+        """RequestTrace-style timestamped stage notes (request_trace.rs)."""
+        self.trace.append((time.time(), stage))
+
+
+class Taskmaster:
+    """Worker fleet over an MPMC queue; one worker per signer key."""
+
+    def __init__(self, sim: ShielderSim, signer_keys: list[int],
+                 fee_config: FeeConfig | None = None,
+                 recharge_threshold: int = 0, recharge_amount: int = 0):
+        self.sim = sim
+        self.fee_config = fee_config or FeeConfig()
+        self.metrics = Metrics()
+        self.queue: queue.Queue = queue.Queue(maxsize=RELAY_QUEUE_CAPACITY)
+        self.quote_cache: dict[str, dict] = {}
+        self.fee_destination = sim.protocol_fee_receiver
+        self.recharge_threshold = recharge_threshold
+        self.recharge_amount = recharge_amount
+        self._success_streak = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self.workers = [
+            threading.Thread(target=self._relay_worker, args=(key,), daemon=True)
+            for key in signer_keys]
+        for w in self.workers:
+            w.start()
+
+    # -- quoting --
+
+    def quote_fees(self) -> dict:
+        q = self.fee_config.quote()
+        self.quote_cache[str(id(q))] = q
+        self._gc_quotes()
+        q = dict(q)
+        q["quote_id"] = str(id(q))
+        return q
+
+    def _gc_quotes(self):
+        now = time.time()
+        for k in [k for k, v in self.quote_cache.items()
+                  if v["valid_until"] < now]:
+            del self.quote_cache[k]
+
+    # -- relay path --
+
+    def register_new_task(self, request: dict) -> RelayTask:
+        """Validation chain then enqueue (relay/mod.rs:58-80)."""
+        task = RelayTask(request=request)
+        task.annotate("queued for relay")
+        self.queue.put_nowait(task)
+        return task
+
+    def _relay_worker(self, signer_key: int):
+        while not self._stop.is_set():
+            try:
+                task = self.queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            task.annotate("received by worker")
+            try:
+                optimistic = self._success_streak >= OPTIMISTIC_DRY_RUN_THRESHOLD
+                if not optimistic:
+                    self._dry_run(task.request)
+                    task.annotate("dry run completed")
+                result_idx = self._submit(signer_key, task.request)
+                with self._lock:
+                    self._success_streak += 1
+                self.metrics.withdraw_success += 1
+                task.result = {"status": "ok", "note_index": result_idx,
+                               "signer": signer_key}
+                task.annotate("relay completed")
+            except ShielderError as e:
+                with self._lock:
+                    self._success_streak = 0  # back to obligatory dry runs
+                if "dry" in str(e):
+                    self.metrics.withdraw_dry_run_failure += 1
+                else:
+                    self.metrics.withdraw_failure += 1
+                task.result = {"status": "error", "reason": str(e)}
+            finally:
+                self._maybe_recharge(signer_key)
+                task.done.set()
+
+    def _dry_run(self, request: dict):
+        """Simulate against a snapshot (DryRun call type, call_type.rs:11-82)."""
+        import copy
+
+        sim_copy = copy.copy(self.sim)
+        sim_copy.nullifiers = dict(self.sim.nullifiers)
+        sim_copy.balances = dict(self.sim.balances)
+        try:
+            sim_copy.withdraw_native(**request)
+        except ShielderError as e:
+            raise ShielderError(f"dry run failed: {e}") from e
+
+    def _submit(self, signer_key: int, request: dict) -> int:
+        return self.sim.withdraw_native(**request)
+
+    def _maybe_recharge(self, signer_key: int):
+        """Auto top-up from the fee destination (recharge.rs)."""
+        if self.recharge_threshold <= 0:
+            return
+        bal = self.sim.balances.get(signer_key, 0)
+        if bal < self.recharge_threshold:
+            fees = self.sim.balances.get(self.fee_destination, 0)
+            amount = min(self.recharge_amount, fees)
+            if amount > 0:
+                self.sim.balances[self.fee_destination] = fees - amount
+                self.sim.balances[signer_key] = bal + amount
+
+    def shutdown(self):
+        self._stop.set()
+
+
+def make_http_server(tm: Taskmaster, port: int = 0) -> ThreadingHTTPServer:
+    """REST facade: /relay, /quote_fees, /fee_address, /health, /metrics."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            tm.metrics.requests_total += 1
+            if self.path == "/health":
+                self._json(200, {"status": "healthy"})
+            elif self.path == "/fee_address":
+                self._json(200, {"fee_address": hex(tm.fee_destination)})
+            elif self.path == "/quote_fees":
+                self._json(200, tm.quote_fees())
+            elif self.path == "/metrics":
+                body = tm.metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            tm.metrics.requests_total += 1
+            if self.path != "/relay":
+                self._json(404, {"error": "not found"})
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            try:
+                request = json.loads(self.rfile.read(length))
+                request["proof"] = bytes.fromhex(request["proof"])
+                task = tm.register_new_task(request)
+            except (queue.Full, KeyError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            task.done.wait(timeout=60)
+            code = 200 if task.result and task.result["status"] == "ok" else 400
+            self._json(code, {"result": task.result,
+                              "trace": [s for _, s in task.trace]})
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
