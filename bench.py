@@ -62,14 +62,24 @@ def timeit(fn, *args, iters=3):
 
 
 def device_points(n: int) -> jax.Array:
-    """n valid G1 points built on device: doubling chain of G, tiled."""
-    g = jnp.asarray(C.point_from_affine_ints([(1, 2)]))  # (3, 18, 1)
-    doubles = [g]
-    for _ in range(63):
-        doubles.append(C.ec_double(doubles[-1]))
-    base = jnp.concatenate(doubles, axis=-1)  # 2^i * G
-    reps = -(-n // 64)
-    return jnp.tile(base, (1, 1, reps))[:, :, :n]
+    """n valid G1 points built on device: doubling chain of G, tiled.
+
+    One jitted graph (eager per-op dispatch through the device tunnel is
+    ~1000x slower than a single compiled call).
+    """
+    g_host = jnp.asarray(C.point_from_affine_ints([(1, 2)]))  # (3, 18, 1)
+
+    @jax.jit
+    def build(g):
+        def step(p, _):
+            return C.ec_double(p), p
+
+        _, chain = jax.lax.scan(step, g, None, length=64)  # (64, 3, 18, 1)
+        base = jnp.moveaxis(chain[..., 0], 0, -1)  # (3, 18, 64): 2^i * G
+        reps = -(-n // 64)
+        return jnp.tile(base, (1, 1, reps))[:, :, :n]
+
+    return build(g_host)
 
 
 def _seeded_limbs(seed, shape):

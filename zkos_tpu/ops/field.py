@@ -202,19 +202,29 @@ def neg(spec: FieldSpec, b: jax.Array, k: int = 4) -> jax.Array:
 # Montgomery multiplication (the workhorse)
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# Kernel form selection: the statically-unrolled CIOS is fastest at runtime
+# (no per-step dynamic-slice round-trips) but linear-in-ops to compile; the
+# fori_loop form compiles ~20x faster.  On the 2-core CPU test environment
+# XLA/LLVM compile time dominates everything, so default to the loop form
+# there and the unrolled form on real accelerators.  Override with
+# ZKOS_MONT_UNROLL=0/1.
+_UNROLL_ENV = _os.environ.get("ZKOS_MONT_UNROLL")
+
+
+def _use_unrolled() -> bool:
+    if _UNROLL_ENV is not None:
+        return _UNROLL_ENV == "1"
+    return jax.default_backend() != "cpu"
+
+
 def mont_mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     """Montgomery product a * b * R^{-1} mod p in the lazy domain.
 
-    Fully unrolled straight-line vector code: ~3k fused elementwise HLO ops
-    over the batch lanes, no fori_loop / dynamic slices (measured ~20x
-    faster than the loop form on v5e — the loop's per-step dynamic
-    slice/update round-trips dominate).
-
-    Column-overflow accounting (all values exact in uint32):
-    - product of two dirty (< 2^16.1) limbs < 2^32.2 -> split lo/hi at 15;
-    - a product column then holds <= 18 los (< 2^15) + 18 his (< 2^17.2)
-      < 2^22; reduction adds the same again plus ripple carries -> < 2^24;
-    - m = (t_i & mask) * np0 masked to 15 bits is exact (operand < 2^30).
+    See ``_mont_mul_unrolled`` (runtime-optimal) and ``_mont_mul_loop``
+    (compile-time-optimal); both compute the same function with identical
+    limb bounds.
 
     Preconditions: value(a) = alpha*p, value(b) = beta*p with
     alpha*beta <= 2^16, limb columns < 2^29 (carry_once applied internally).
@@ -225,38 +235,92 @@ def mont_mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
     a = carry_once(a)
     b = carry_once(b)
     n = N_LIMBS
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    a = jnp.broadcast_to(a, (n,) + batch)
+    b = jnp.broadcast_to(b, (n,) + batch)
+    if _use_unrolled():
+        return _mont_mul_unrolled(spec, a, b)
+    return _mont_mul_loop(spec, a, b)
+
+
+def _mont_mul_loop(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """fori_loop CIOS: tiny HLO (one body per phase), dynamic slices.
+
+    Same column math and bounds as ``_mont_mul_unrolled``.
+    """
+    n = N_LIMBS
     np0 = np.uint32(spec.np0)
-    p_np = spec.p_limbs
+    batch = a.shape[1:]
+    p_col = const(spec.p_limbs, 1 + len(batch))
+    pad_tail = [(0, 1)] + [(0, 0)] * len(batch)
+    pad_head = [(1, 0)] + [(0, 0)] * len(batch)
 
-    av = [a[i] for i in range(n)]
-    bv = [b[i] for i in range(n)]
-    zero = jnp.zeros(jnp.broadcast_shapes(a.shape[1:], b.shape[1:]), dtype=U32)
-    t = [zero] * (2 * n + 1)
+    def prod_step(i, t):
+        ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=True)
+        prod = ai * b  # (n, *batch)
+        seg = jax.lax.dynamic_slice_in_dim(t, i, n + 1, 0)
+        seg = seg + jnp.pad(prod & LIMB_MASK, pad_tail) \
+                  + jnp.pad(prod >> LIMB_BITS, pad_head)
+        return jax.lax.dynamic_update_slice_in_dim(t, seg, i, 0)
 
-    for i in range(n):
-        ai = av[i]
-        for j in range(n):
-            prod = ai * bv[j]
-            t[i + j] = t[i + j] + (prod & LIMB_MASK)
-            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
+    t = jnp.zeros((2 * n + 1,) + batch, dtype=U32)
+    t = jax.lax.fori_loop(0, n, prod_step, t)
 
-    for i in range(n):
-        ti = t[i]
+    def red_step(i, t):
+        ti = jax.lax.dynamic_index_in_dim(t, i, 0, keepdims=False)
         m = ((ti & LIMB_MASK) * np0) & LIMB_MASK
-        for j in range(n):
-            pj = np.uint32(int(p_np[j]))
-            if pj == 0:
-                continue
-            prod = m * pj
-            t[i + j] = t[i + j] + (prod & LIMB_MASK)
-            t[i + j + 1] = t[i + j + 1] + (prod >> LIMB_BITS)
-        # column i is now ≡ 0 mod 2^15; ripple its carry into column i+1
-        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+        prod = m[None] * p_col
+        seg = jax.lax.dynamic_slice_in_dim(t, i, n + 1, 0)
+        seg = seg + jnp.pad(prod & LIMB_MASK, pad_tail) \
+                  + jnp.pad(prod >> LIMB_BITS, pad_head)
+        seg = seg.at[1].add(seg[0] >> LIMB_BITS)
+        return jax.lax.dynamic_update_slice_in_dim(t, seg, i, 0)
+
+    t = jax.lax.fori_loop(0, n, red_step, t)
+    return carry_once(t[n : 2 * n])
+
+
+def _mont_mul_unrolled(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Limb-axis-vectorized CIOS, statically unrolled.
+
+    Each of the 18 outer steps does whole-row vector ops on ``(18, *batch)``
+    tiles with *static* slice offsets — no fori_loop / dynamic slices (their
+    per-step round-trips dominated an earlier loop form on v5e), and ~8x
+    fewer HLO ops than a fully scalar-unrolled schoolbook expansion (which
+    made XLA-CPU compiles of composite kernels like ec_add take tens of
+    minutes and multi-GB of compiler RSS).
+
+    Column-overflow accounting (all values exact in uint32):
+    - product of two carried (< 2^15.6) limbs < 2^31.2 -> split lo/hi at 15;
+    - a product column then holds <= 18 los (< 2^15) + 18 his (< 2^16.2)
+      < 2^21.5; reduction adds the same again plus ripple carries -> < 2^23;
+    - m = (t_i & mask) * np0 masked to 15 bits is exact (operand < 2^30).
+
+    Inputs arrive carried (< 2^15.6) and broadcast to (18, *batch).
+    """
+    n = N_LIMBS
+    np0 = np.uint32(spec.np0)
+    batch = a.shape[1:]
+    p_col = const(spec.p_limbs, 1 + len(batch))  # (18, 1...)
+
+    t = jnp.zeros((2 * n + 1,) + batch, dtype=U32)
+    # product phase: row i contributes a[i] * b into columns i..i+n
+    for i in range(n):
+        prod = a[i][None] * b  # (18, *batch)
+        t = t.at[i : i + n].add(prod & LIMB_MASK)
+        t = t.at[i + 1 : i + n + 1].add(prod >> LIMB_BITS)
+
+    # reduction phase: zero column i with m*p, ripple carry into i+1
+    for i in range(n):
+        m = ((t[i] & LIMB_MASK) * np0) & LIMB_MASK  # (*batch,)
+        prod = m[None] * p_col  # (18, *batch)
+        t = t.at[i : i + n].add(prod & LIMB_MASK)
+        t = t.at[i + 1 : i + n + 1].add(prod >> LIMB_BITS)
+        t = t.at[i + 1].add(t[i] >> LIMB_BITS)
 
     # columns 2n-1 and 2n are provably zero-carry (result < 2p < 2^255 and
     # p's top limb is zero), so the result is exactly columns n..2n-1
-    out = jnp.stack(t[n : 2 * n], axis=0)
-    return carry_once(out)
+    return carry_once(t[n : 2 * n])
 
 
 def mont_sqr(spec: FieldSpec, a: jax.Array) -> jax.Array:

@@ -93,10 +93,19 @@ def _bucket_accumulate(points: jax.Array, digits: jax.Array, c: int, groups: int
 
     buckets, _ = jax.lax.scan(body, buckets, (pts, dig))
 
-    # tree-fold groups (axis 3)
-    while buckets.shape[3] > 1:
-        half = buckets.shape[3] // 2
-        buckets = C.ec_add(buckets[:, :, :, :half], buckets[:, :, :, half:])
+    # tree-fold groups (axis 3) with a static-shape pair fold: each step adds
+    # adjacent pairs into the front half and pads with identity (absorbing),
+    # so lax.fori_loop compiles ONE ec_add body instead of log2(G) copies.
+    if g > 1:
+        assert g & (g - 1) == 0, "group count must be a power of two"
+        ident_half = C.point_identity((w_count, g // 2, b_count))
+
+        def fold_step(_, bk):
+            summed = C.ec_add(bk[:, :, :, 0::2], bk[:, :, :, 1::2])
+            return jnp.concatenate([summed, ident_half], axis=3)
+
+        buckets = jax.lax.fori_loop(
+            0, int(g).bit_length() - 1, fold_step, buckets)
     return buckets[:, :, :, 0]  # (3, 18, W, B)
 
 
@@ -141,6 +150,7 @@ def msm_mont(points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
     n = points.shape[-1]
     if groups is None:
         groups = max(1, min(512, n // 8))
+        groups = 1 << (groups.bit_length() - 1)  # largest power of two <=
     pad = (-n) % groups
     if pad:
         points = jnp.concatenate(
