@@ -37,7 +37,7 @@ from zkos_tpu.ops import msm as M  # noqa: E402
 from zkos_tpu.ops import ntt as NTT  # noqa: E402
 from zkos_tpu.ops import poseidon2 as P2  # noqa: E402
 
-MSM_LOG_N = 16
+MSM_LOG_N = 20
 MSM_C = 8
 POSEIDON_LOG_B = 16
 NTT_LOG_N = 13

@@ -86,22 +86,35 @@ def _bucket_accumulate(points: jax.Array, digits: jax.Array, c: int, groups: int
 
     def body(bk, xs):
         pts_step, d_step = xs  # (3,18,G), (W,G)
-        idx = d_step[None, None, :, :, None]
-        cur = jnp.take_along_axis(bk, idx, axis=4)[..., 0]  # (3,18,W,G)
+        # per-lane bucket gather/scatter: unique indices per (w, g) lane, so
+        # the scatter stays vectorized; traffic per step is just the touched
+        # bucket rows, not the whole array.
+        cur = jnp.take_along_axis(
+            bk, d_step[None, None, :, :, None], axis=4)[..., 0]  # (3,18,W,G)
+        # barriers: without them XLA fuses the gather into the ec_add limb
+        # loop (recomputing it per loop step) and the ec_add into the
+        # scatter — measured ~10x step cost.
+        cur = jax.lax.optimization_barrier(cur)
         new = C.ec_add(cur, pts_step[:, :, None, :])
-        return bk.at[:, :, w_idx, g_idx, d_step].set(new), None
+        new = jax.lax.optimization_barrier(new)
+        bk = bk.at[:, :, w_idx, g_idx, d_step].set(
+            new, unique_indices=True, mode="promise_in_bounds")
+        return bk, None
 
     buckets, _ = jax.lax.scan(body, buckets, (pts, dig))
 
-    # tree-fold groups (axis 3) with a static-shape pair fold: each step adds
-    # adjacent pairs into the front half and pads with identity (absorbing),
-    # so lax.fori_loop compiles ONE ec_add body instead of log2(G) copies.
+    # tree-fold groups (axis 3) with a static-shape adjacent-pair fold: view
+    # (G, B) as (G/2, 2B) so each pair is two contiguous stride-1 slices, add
+    # them into the front half and pad with identity (absorbing).  Valid
+    # entries always stay compacted at the front, so the same body iterates
+    # under lax.fori_loop — ONE compiled ec_add instead of log2(G) copies.
     if g > 1:
         assert g & (g - 1) == 0, "group count must be a power of two"
         ident_half = C.point_identity((w_count, g // 2, b_count))
 
         def fold_step(_, bk):
-            summed = C.ec_add(bk[:, :, :, 0::2], bk[:, :, :, 1::2])
+            v = bk.reshape(3, nl, w_count, g // 2, 2 * b_count)
+            summed = C.ec_add(v[..., :b_count], v[..., b_count:])
             return jnp.concatenate([summed, ident_half], axis=3)
 
         buckets = jax.lax.fori_loop(
@@ -110,19 +123,43 @@ def _bucket_accumulate(points: jax.Array, digits: jax.Array, c: int, groups: int
 
 
 def _suffix_weighted_sums(buckets: jax.Array) -> jax.Array:
-    """sum_{b>=1} b*S_b per window via running suffix sums: (3,18,W,B)->(3,18,W)."""
+    """sum_{b>=1} b*S_b per window via suffix sums: (3,18,W,B)->(3,18,W).
+
+    Identity: sum_b b*S_b = sum_{k>=1} R_k where R_k = sum_{b>=k} S_b.
+    Both the suffix sums and their total are computed at log2(B) depth with
+    wide batched ec_adds (an O(B log B)-work Hillis-Steele suffix scan plus a
+    pair-fold tree) instead of a 2(B-1)-step sequential scan — B-1 sequential
+    tiny-lane steps cost far more on TPU than log2(B) full-width sweeps.
+    """
+    nl = F.N_LIMBS
+    b_count = buckets.shape[-1]
     w_count = buckets.shape[2]
-    xs = jnp.moveaxis(buckets[..., :0:-1], -1, 0)  # (B-1, 3, 18, W), b=B-1..1
-    ident = C.point_identity((w_count,))
+    assert b_count & (b_count - 1) == 0
+    log_b = b_count.bit_length() - 1
+    ident_cols = C.point_identity((w_count, b_count))
+    pos = jnp.arange(b_count, dtype=jnp.uint32)
 
-    def body(carry, s_b):
-        running, acc = carry
-        running = C.ec_add(running, s_b)
-        acc = C.ec_add(acc, running)
-        return (running, acc), None
+    def suffix_step(s, r):
+        shift = jnp.uint32(1) << s
+        rolled = jnp.roll(r, -shift.astype(jnp.int32), axis=-1)
+        valid = (pos + shift < b_count)[None, None, None, :]
+        shifted = jnp.where(valid, rolled, ident_cols)
+        return C.ec_add(r, shifted)
 
-    (_, acc), _ = jax.lax.scan(body, (ident, ident), xs)
-    return acc
+    r = jax.lax.fori_loop(0, log_b, suffix_step, buckets)
+    # r[..., k] = sum_{b >= k} S_b; zero out k=0, then pair-fold the total
+    acc = jnp.concatenate(
+        [C.point_identity((w_count, 1)), r[..., 1:]], axis=-1)
+
+    ident_half = C.point_identity((w_count, b_count // 2))
+
+    def fold_step(_, a):
+        v = a.reshape(3, nl, w_count, b_count // 2, 2)
+        folded = C.ec_add(v[..., 0], v[..., 1])
+        return jnp.concatenate([folded, ident_half], axis=-1)
+
+    acc = jax.lax.fori_loop(0, log_b, fold_step, acc)
+    return acc[..., 0]
 
 
 def _fold_windows(per_window: jax.Array, c: int) -> jax.Array:
@@ -149,7 +186,10 @@ def msm_mont(points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
     """
     n = points.shape[-1]
     if groups is None:
-        groups = max(1, min(512, n // 8))
+        # G=64 measured fastest on v5e at 2^16..2^20 (G>=256 blows the
+        # bucket array past cache-friendly sizes and the group tree-fold
+        # cost grows linearly in G; smaller G adds scan-latency steps)
+        groups = max(1, min(64, n // 8))
         groups = 1 << (groups.bit_length() - 1)  # largest power of two <=
     pad = (-n) % groups
     if pad:
