@@ -115,10 +115,10 @@ def main() -> None:
     @jax.jit
     def poseidon_run(seed):
         leaves = _seeded_limbs(seed, (F.N_LIMBS, 7, b))
-        return jnp.sum(P2.hash_n(leaves), axis=1)
+        return jnp.sum(P2.hash_n_best(leaves), axis=1)
 
     t = timeit(poseidon_run)
-    log(f"poseidon2 t=8 batch 2^{POSEIDON_LOG_B}: {t*1e3:.1f} ms -> "
+    log(f"poseidon2 t=8 (pallas) batch 2^{POSEIDON_LOG_B}: {t*1e3:.1f} ms -> "
         f"{b/t:,.0f} hashes/s")
 
     # --- NTT ---

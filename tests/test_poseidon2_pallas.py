@@ -1,0 +1,49 @@
+"""Pallas Poseidon2 kernel vs golden oracle.
+
+The CPU test mesh (conftest forces the CPU backend) cannot run the Mosaic
+kernel, and its interpreter is far too slow for the 56-round chain, so this
+module only executes on a real accelerator backend:
+
+    PYTHONPATH=/root/.axon_site:. python -m pytest tests/test_poseidon2_pallas.py --no-header -q
+
+(driven that way in perf validation; see also bench.py, which routes its
+Poseidon batch through poseidon2.hash_n_best -> the Pallas kernel).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zkos_tpu.ops import field as F
+from zkos_tpu.ops import poseidon2 as P2
+from zkos_tpu.ops.field_golden import FR_MODULUS
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="Mosaic kernel needs a TPU backend; interpret mode too slow on CPU")
+
+
+def test_pallas_hash_matches_golden():
+    from zkos_tpu.ops import poseidon2_pallas as PP
+
+    random.seed(3)
+    b = PP.TILE_B
+    vals = [[random.randrange(FR_MODULUS) for _ in range(7)] for _ in range(b)]
+    arr = np.stack(
+        [np.stack([F.to_limbs(vals[i][lane]) for i in range(b)], axis=-1)
+         for lane in range(7)], axis=1).astype(np.uint32)
+    got = F.from_limbs(np.asarray(PP.hash_n_pallas(jnp.asarray(arr))))
+    assert got == [P2.hash_ints(v) for v in vals]
+
+
+def test_hash_n_best_pads_to_tile():
+    random.seed(4)
+    vals = [[random.randrange(FR_MODULUS) for _ in range(2)] for _ in range(5)]
+    arr = np.stack(
+        [np.stack([F.to_limbs(vals[i][lane]) for i in range(5)], axis=-1)
+         for lane in range(2)], axis=1).astype(np.uint32)
+    got = F.from_limbs(np.asarray(P2.hash_n_best(jnp.asarray(arr))))
+    assert got == [P2.hash_ints(v) for v in vals]
