@@ -4,26 +4,29 @@ Classic Pippenger does data-dependent scatter (point -> bucket), which is
 hostile to a vector machine.  This reformulation keeps Pippenger's O(W*N)
 addition count while exposing wide static parallelism:
 
-1. **Digits**: scalars (canonical 15-bit limb arrays) are split on-device into
-   W = ceil(254/c) windows of c bits.
+1. **Signed digits**: scalars (canonical 15-bit limb arrays) are split
+   on-device into W = ceil(254/c) windows of c bits, then recoded to
+   [-2^(c-1), 2^(c-1)] — G1 negation is free (negate y), so this halves the
+   bucket count and, with it, the scan-carry HBM traffic that dominates the
+   bucket phase.
 2. **Bucket accumulation**: points are partitioned into G groups; a single
    ``lax.scan`` of length M = N/G performs, per step, one *batched* complete
    EC addition over all (window, group) lanes simultaneously: lane (w, g)
-   folds its current point into bucket ``digits[w, point]`` of its private
-   bucket array.  That is W*G EC adds per step — wide enough to saturate the
-   VPU — with per-lane dynamic indexing expressed as batched gather/scatter.
-3. **Group reduction**: the G per-group bucket arrays are folded with a
-   log2(G) tree of batched EC adds.
-4. **Suffix sums**: one scan of length 2^c - 1 computes
-   ``sum_b b * S_b`` per window via the running-suffix identity.
+   folds +-(its current point) into bucket ``|digit|-1`` of its private
+   bucket array (identity for digit 0).  That is W*G EC adds per step — wide
+   enough to saturate the VPU — with per-lane unique-index gather/scatter.
+3. **Group reduction**: the G per-group bucket arrays are folded by an
+   adjacent-pair tree under one fori_loop body (log2(G) steps).
+4. **Suffix sums**: ``sum_k (k+1) S_k`` per window via a log2(B)-depth
+   Hillis-Steele suffix scan + pair-fold tree of wide batched ec_adds.
 5. **Window fold**: Horner over windows (c doublings + 1 add per window,
    scan-wrapped).
 
-Total work: W*(N + 2^{c+1}) + c*W complete additions.  Layout: points are
-``(3, 18, N)`` limb-major; buckets are ``(3, 18, W, G, 2^c)`` so the EC adds
-batch over (W, G[, B]) on the vector lanes.  The multi-chip variant (points
-sharded, per-chip partials combined with an all-gather fold) lives in
-``zkos_tpu.parallel``.
+Total work: ~W*(N + 3*2^(c-1)*log2(B)-ish) complete additions.  Layout:
+points are ``(3, 18, N)`` limb-major; buckets are ``(3, 18, W, G, 2^(c-1))``
+so the EC adds batch over (W, G[, B]) on the vector lanes.  The multi-chip
+variant (points sharded, per-chip partials combined with an all-gather fold)
+lives in ``zkos_tpu.parallel``.
 
 Oracle: ``curve_golden.msm`` (python ints).  This kernel implements
 ``Srs::commit`` / ``commit_lagrange`` (reference pins:
@@ -63,41 +66,75 @@ def limbs_to_digits(scalar_limbs: jax.Array, c: int) -> jax.Array:
     return jnp.stack(outs, axis=0)
 
 
-def _bucket_accumulate(points: jax.Array, digits: jax.Array, c: int, groups: int) -> jax.Array:
-    """Scan-Pippenger bucket phase.
+def limbs_to_digits_signed(scalar_limbs: jax.Array, c: int) -> jax.Array:
+    """Signed-window recoding: (18, N) limbs -> (W, N) int32 in [-2^(c-1), 2^(c-1)].
 
-    points: (3, 18, N) Montgomery projective; digits: (W, N) uint32.
-    Returns per-window bucket sums S_{w,b}: (3, 18, W, 2^c).
+    Halves the bucket count (magnitudes 1..2^(c-1)) at the cost of a cheap
+    per-window carry chain; point negation is free on G1 (negate y).  When
+    c divides 254 exactly the top window has no slack bit for the final
+    carry, so an extra all-zero window is appended before recoding.
     """
-    w_count, n = digits.shape
+    d = limbs_to_digits(scalar_limbs, c).astype(jnp.int32)  # (W, N)
+    if c * num_windows(c) == 254:
+        d = jnp.concatenate([d, jnp.zeros_like(d[:1])], axis=0)
+    half = 1 << (c - 1)
+    full = 1 << c
+    outs = []
+    carry = jnp.zeros_like(d[0])
+    for w in range(d.shape[0]):
+        v = d[w] + carry
+        neg = v > half
+        outs.append(jnp.where(neg, v - full, v))
+        carry = neg.astype(jnp.int32)
+    return jnp.stack(outs, axis=0)
+
+
+def _bucket_accumulate(points: jax.Array, sdigits: jax.Array, c: int, groups: int) -> jax.Array:
+    """Scan-Pippenger bucket phase over signed digits.
+
+    points: (3, 18, N) Montgomery projective; sdigits: (W, N) int32 in
+    [-2^(c-1), 2^(c-1)].  Bucket index k holds magnitude k+1; zero digits
+    contribute the identity.  Returns bucket sums (3, 18, W, 2^(c-1)).
+    """
+    w_count, n = sdigits.shape
     g = groups
     assert n % g == 0, "pad inputs to a multiple of the group count"
     m = n // g
-    b_count = 1 << c
+    b_count = 1 << (c - 1)
     nl = F.N_LIMBS
 
-    # scan xs: per step one point per group and its digit per window
+    # scan xs: per step one point per group and its signed digit per window
     pts = jnp.moveaxis(points.reshape(3, nl, g, m), -1, 0)  # (M, 3, 18, G)
-    dig = jnp.moveaxis(digits.reshape(w_count, g, m), -1, 0).astype(jnp.int32)  # (M, W, G)
+    dig = jnp.moveaxis(sdigits.reshape(w_count, g, m), -1, 0)  # (M, W, G)
 
     buckets = C.point_identity((w_count, g, b_count))  # (3, 18, W, G, B)
     w_idx = jnp.arange(w_count, dtype=jnp.int32)[:, None]
     g_idx = jnp.arange(g, dtype=jnp.int32)[None, :]
+    ident_wg = C.point_identity((w_count, g))
 
     def body(bk, xs):
-        pts_step, d_step = xs  # (3,18,G), (W,G)
+        pts_step, d_step = xs  # (3,18,G), (W,G) signed
+        idx = jnp.maximum(jnp.abs(d_step), 1) - 1  # (W,G) in [0, B)
         # per-lane bucket gather/scatter: unique indices per (w, g) lane, so
         # the scatter stays vectorized; traffic per step is just the touched
         # bucket rows, not the whole array.
         cur = jnp.take_along_axis(
-            bk, d_step[None, None, :, :, None], axis=4)[..., 0]  # (3,18,W,G)
+            bk, idx[None, None, :, :, None], axis=4)[..., 0]  # (3,18,W,G)
+        # signed-digit point: negate y for negative digits, identity for 0
+        base = pts_step[:, :, None, :]  # (3,18,1,G)
+        y = jnp.broadcast_to(base[1], cur.shape[1:])
+        y_neg = F.neg(F.FQ, F.carry_once(y), k=8)
+        addend = jnp.broadcast_to(base, cur.shape)
+        addend = addend.at[1].set(
+            jnp.where((d_step < 0)[None], y_neg, y))
+        addend = jnp.where((d_step == 0)[None, None], ident_wg, addend)
         # barriers: without them XLA fuses the gather into the ec_add limb
         # loop (recomputing it per loop step) and the ec_add into the
         # scatter — measured ~10x step cost.
         cur = jax.lax.optimization_barrier(cur)
-        new = C.ec_add(cur, pts_step[:, :, None, :])
+        new = C.ec_add(cur, addend)
         new = jax.lax.optimization_barrier(new)
-        bk = bk.at[:, :, w_idx, g_idx, d_step].set(
+        bk = bk.at[:, :, w_idx, g_idx, idx].set(
             new, unique_indices=True, mode="promise_in_bounds")
         return bk, None
 
@@ -123,9 +160,10 @@ def _bucket_accumulate(points: jax.Array, digits: jax.Array, c: int, groups: int
 
 
 def _suffix_weighted_sums(buckets: jax.Array) -> jax.Array:
-    """sum_{b>=1} b*S_b per window via suffix sums: (3,18,W,B)->(3,18,W).
+    """sum_k (k+1)*S_k per window via suffix sums: (3,18,W,B)->(3,18,W).
 
-    Identity: sum_b b*S_b = sum_{k>=1} R_k where R_k = sum_{b>=k} S_b.
+    Bucket k holds digit magnitude k+1 (signed-window scheme), and
+    sum_k (k+1)*S_k = sum_{j>=0} R_j where R_j = sum_{k>=j} S_k.
     Both the suffix sums and their total are computed at log2(B) depth with
     wide batched ec_adds (an O(B log B)-work Hillis-Steele suffix scan plus a
     pair-fold tree) instead of a 2(B-1)-step sequential scan — B-1 sequential
@@ -146,10 +184,8 @@ def _suffix_weighted_sums(buckets: jax.Array) -> jax.Array:
         shifted = jnp.where(valid, rolled, ident_cols)
         return C.ec_add(r, shifted)
 
-    r = jax.lax.fori_loop(0, log_b, suffix_step, buckets)
-    # r[..., k] = sum_{b >= k} S_b; zero out k=0, then pair-fold the total
-    acc = jnp.concatenate(
-        [C.point_identity((w_count, 1)), r[..., 1:]], axis=-1)
+    acc = jax.lax.fori_loop(0, log_b, suffix_step, buckets)
+    # acc[..., j] = sum_{k >= j} S_k; pair-fold all suffixes into the total
 
     ident_half = C.point_identity((w_count, b_count // 2))
 
@@ -197,7 +233,7 @@ def msm_mont(points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
             [points, C.point_identity((pad,))], axis=-1)
         scalar_limbs = jnp.concatenate(
             [scalar_limbs, jnp.zeros((F.N_LIMBS, pad), dtype=jnp.uint32)], axis=-1)
-    digits = limbs_to_digits(scalar_limbs, c)
-    buckets = _bucket_accumulate(points, digits, c, groups)
+    sdigits = limbs_to_digits_signed(scalar_limbs, c)
+    buckets = _bucket_accumulate(points, sdigits, c, groups)
     per_window = _suffix_weighted_sums(buckets)
     return _fold_windows(per_window, c)
