@@ -65,3 +65,46 @@ def test_msm_identity_points(rng):
     sarr = jnp.asarray(F.to_limbs(scalars), dtype=jnp.uint32)
     out = M.msm_mont(parr, sarr, c=4, groups=2)
     assert C.point_to_affine_ints(out) is None
+
+
+# -- sorted prefix-scan MSM (v2) --
+
+def test_msm_sorted_vs_golden(rng):
+    pts, scalars, _, sarr = _setup(rng, 13, full_range=True)
+    scalars[3] = 0
+    scalars[7] = 1
+    sarr = jnp.asarray(F.to_limbs(scalars), dtype=jnp.uint32)
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    want = CG.msm(scalars, pts)
+    assert M.msm_affine_ints(parr, sarr, c=8, steps=2) == want
+
+
+def test_msm_sorted_repeated_points(rng):
+    """Duplicate points force doubling cases inside the prefix scan."""
+    base = CG.random_points(rng, 4)
+    pts = base * 4
+    scalars = [int(rng.integers(0, 2**62)) for _ in range(16)]
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.asarray(F.to_limbs(scalars), dtype=jnp.uint32)
+    assert M.msm_affine_ints(parr, sarr, c=4, steps=4) == CG.msm(scalars, pts)
+
+
+def test_msm_sorted_zero_sum(rng):
+    pts = CG.random_points(rng, 3)
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.asarray(F.to_limbs([0, 0, 0]), dtype=jnp.uint32)
+    assert M.msm_affine_ints(parr, sarr, c=8, steps=2) is None
+
+
+def test_msm_batched_commit(rng):
+    """vmapped window sums: several scalar vectors over shared points."""
+    import jax
+
+    pts = CG.random_points(rng, 8)
+    cols = [[int(rng.integers(0, 2**62)) for _ in range(8)] for _ in range(3)]
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.stack([jnp.asarray(F.to_limbs(col), dtype=jnp.uint32)
+                      for col in cols])  # (3, 18, 8)
+    ws = jax.vmap(lambda s: M.msm_window_sums(parr, s, c=8, steps=2))(sarr)
+    for b, col in enumerate(cols):
+        assert M.fold_windows_host(ws[b], 8) == CG.msm(col, pts)

@@ -54,7 +54,13 @@ def point_from_affine_ints(pts) -> np.ndarray:
 
 
 def point_to_affine_ints(pt_arr) -> list:
-    """Host: (3, 18[, n]) Montgomery projective -> golden affine points/None."""
+    """Host: (3, 18[, n]) Montgomery projective -> golden affine points/None.
+
+    Accepts any lazy representative (< 2^16 p): coordinates are fully
+    reduced limb-by-limb via the golden field before the affine divide.
+    """
+    pt_arr = jnp.asarray(pt_arr)
+    pt_arr = jnp.stack([F.canon(FQ, pt_arr[i]) for i in range(3)], axis=0)
     arr = np.asarray(pt_arr)
     single = arr.ndim == 2
     if single:
@@ -76,8 +82,14 @@ def point_to_affine_ints(pt_arr) -> list:
 def ec_add(p: jax.Array, q: jax.Array) -> jax.Array:
     """Complete projective addition (RCB Alg. 7, a=0).  Fully batched.
 
-    p, q: (3, 18, *batch) Montgomery-form lazy-domain coordinates (< 8p).
-    Returns (3, 18, *batch) with coordinates < 2p.
+    p, q: (3, 18, *batch) Montgomery-form lazy-domain coordinates (< 10p).
+    Returns (3, 18, *batch) with X < 10p, Y < 4p, Z < 4p — a lazy fixed
+    point (outputs are valid inputs), so chained additions never pay a
+    reduction.  Bound audit (values in units of p, k=8 subtractions, and
+    mont_mul's alpha*beta <= 2^16 contract): with inputs < 10p the largest
+    product is (x1+y1)(x2+y2) at 20*20 = 400 and the largest sub operand is
+    t0+t1 < 4p < 8p; every mont_mul output is < 2p, so X = sub(t2, x3) < 10p
+    and Y, Z (mul + add) < 4p.
     """
     s = FQ
     mul = lambda a, b: F.mont_mul(s, a, b)
@@ -112,7 +124,50 @@ def ec_add(p: jax.Array, q: jax.Array) -> jax.Array:
     t0 = mul(t0, t3)
     z3 = mul(z3, t4)
     z3 = add(z3, t0)
-    return jnp.stack([F.reduce2p(s, x3), F.reduce2p(s, y3), F.reduce2p(s, z3)], axis=0)
+    return jnp.stack([x3, y3, z3], axis=0)
+
+
+def ec_add_mixed(p: jax.Array, q_affine: jax.Array) -> jax.Array:
+    """Complete mixed addition: projective p + affine q (RCB Alg. 7, Z2=1).
+
+    p: (3, 18, *batch) lazy coords (< 10p, any representative incl. the
+    identity (0:1:0)); q_affine: (2, 18, *batch) canonical Montgomery affine
+    coordinates of real curve points (affine cannot encode the identity).
+    Specializing Z2 = 1 saves one full mul (t2 = z1) and turns two pair-muls
+    into single muls: 13 mont_muls vs ec_add's 14.  Same output bounds as
+    ``ec_add`` (X < 10p, Y < 4p, Z < 4p); valid for accumulator values up to
+    8192p (the binding constraint is mul((x1+y1) < 2A, (x2+y2) < 4)).
+    """
+    s = FQ
+    mul = lambda a, b: F.mont_mul(s, a, b)
+    sub = lambda a, b: F.sub(s, a, b, k=8)
+
+    x1, y1, z1 = p[0], p[1], p[2]
+    x2, y2 = q_affine[0], q_affine[1]
+    b3 = F.const(_B3_MONT, x1.ndim)
+
+    t0 = mul(x1, x2)
+    t1 = mul(y1, y2)
+    t3 = mul(x1 + y1, x2 + y2)
+    t3 = sub(t3, t0 + t1)              # x1y2 + x2y1
+    t4 = mul(y2, z1) + y1              # y1*1 + y2z1
+    y3 = mul(x2, z1) + x1              # x1*1 + x2z1
+    x3 = t0 + t0
+    t0 = x3 + t0                       # 3*t0
+    t2 = mul(b3, z1)                   # b3 * z1z2
+    z3 = t1 + t2
+    t1 = sub(t1, t2)
+    y3 = mul(b3, y3)
+    x3 = mul(t4, y3)
+    t2 = mul(t3, t1)
+    x3 = sub(t2, x3)
+    y3 = mul(y3, t0)
+    t1 = mul(t1, z3)
+    y3 = t1 + y3
+    t0 = mul(t0, t3)
+    z3 = mul(z3, t4)
+    z3 = z3 + t0
+    return jnp.stack([x3, y3, z3], axis=0)
 
 
 def ec_double(p: jax.Array) -> jax.Array:
