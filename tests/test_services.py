@@ -114,10 +114,36 @@ def test_prover_protocol_roundtrip():
         client.generate_proof("Bogus", {"x": 1})
 
 
-def test_fee_estimator():
-    est = fe.FeeEstimator(gas_price_fn=lambda: 3)
+def test_fee_estimator_dry_runs():
+    """Estimation = concurrent EstimateGas dry-runs of seeded calls
+    (fee-estimator src/fees.rs:23-67), not static constants."""
+    sim = _sim()
+    _seed_account(sim, note=901)
+    root = sim.get_merkle_path(0)[-1]
+    seeded = {
+        "new_account": fe.SeededCall("new_account_native", dict(
+            expected_version=VERSION, caller=0xAA, amount=5_000,
+            new_note=902, prenullifier=hash_ints([902]), sym_c1=(1, 1),
+            sym_c2=(2, 2), mac_salt=1, mac_commitment=2, proof=b"ok")),
+        "deposit": fe.SeededCall("deposit_native", dict(
+            expected_version=VERSION, caller=0xAA, amount=700,
+            old_nullifier_hash=hash_ints([77]), new_note=903,
+            merkle_root=root, mac_salt=1, mac_commitment=2, proof=b"ok")),
+        # a deliberately reverting call surfaces in .errors, not .estimates
+        "bad": fe.SeededCall("deposit_native", dict(
+            expected_version=VERSION, caller=0xAA, amount=0,
+            old_nullifier_hash=1, new_note=1, merkle_root=root,
+            mac_salt=1, mac_commitment=2, proof=b"ok")),
+    }
+    est = fe.FeeEstimator(sim=sim, seeded_calls=seeded, gas_price_fn=lambda: 3)
     est.refresh()
-    assert est.estimates["new_account"]["fee"] == 642_011 * 3
+    assert est.estimates["new_account"]["gas"] > 642_011  # verifier + tree
+    assert est.estimates["new_account"]["fee"] == \
+        est.estimates["new_account"]["gas"] * 3
+    assert est.estimates["deposit"]["gas"] > est.estimates["new_account"]["gas"] - 200_000
+    assert "bad" not in est.estimates and "ZeroAmount" in est.errors["bad"]
+    # dry-runs must not mutate live state
+    assert sim.nullifiers.get(hash_ints([902]), 0) == 0
     server = fe.make_http_server(est)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -125,7 +151,7 @@ def test_fee_estimator():
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
         conn.request("GET", "/get_fees")
         fees = json.loads(conn.getresponse().read())
-        assert fees["deposit"]["gas"] == 831_764
+        assert fees["deposit"]["gas"] == est.estimates["deposit"]["gas"]
     finally:
         server.shutdown()
 

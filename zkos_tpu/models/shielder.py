@@ -312,7 +312,37 @@ class ShielderCircuit:
     def prove(self, builder: gd.Builder, public_input: list[int],
               seed: int = 0) -> bytes:
         return plonk.prove(self.pk, builder.advice, public_input,
-                           rng=_random.Random(seed or consts.rng_seed()))
+                           rng=consts.blinding_rng(seed))
 
     def verify(self, proof: bytes, public_input: list[int]) -> bool:
         return plonk.verify(self.vk, proof, public_input)
+
+
+def min_k_for(builder_rows: int, cs_template) -> int:
+    """Smallest k whose usable-row budget fits the circuit.
+
+    The analog of generate_keys_with_min_k's shrink loop
+    (crates/shielder_bindings/src/circuits/mod.rs:74-86): usable rows are
+    2^k - (blinding_factors + 1), and the builder keeps an 8-row guard.
+    """
+    bf = cs_template.blinding_factors()
+    k = 1
+    while (1 << k) - (bf + 1) - 8 < builder_rows:
+        k += 1
+    return k
+
+
+def generate_keys_with_min_k(kind: str, srs: srs_mod.Srs, build_example,
+                             max_k: int | None = None) -> "ShielderCircuit":
+    """Keygen at the smallest k that fits the relation, shrinking the SRS.
+
+    build_example: k -> gd.Builder for a representative witness (row count
+    is witness-independent).  Mirrors generate_keys_with_min_k
+    (shielder_bindings/src/circuits/mod.rs:74-86; SURVEY §2.1).
+    """
+    max_k = max_k or srs.k
+    probe = build_example(max_k)
+    k = min_k_for(probe.next_row, gd.build_constraint_system(max_k))
+    assert k <= max_k, "circuit does not fit the SRS"
+    shrunk = srs.shrink(k) if srs.k > k else srs
+    return ShielderCircuit.setup(kind, k, shrunk, build_example(k))

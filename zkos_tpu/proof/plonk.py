@@ -24,9 +24,13 @@ crates/halo2-verifier/src/lib/codegen/*; file:line cites below):
   arrangement e(F - Z_0(mu) W + mu W', G2) * e(W', -s G2) = 1
   (codegen/pcs/bdfg21.rs:21-416, query order codegen/pcs.rs:60-104).
 
-Host-golden engine (python ints) for correctness; commitments can run on
-device (ops.msm) via DeviceSrs.  Lookup arguments: not yet (the three
-Shielder circuits in this framework are formulated lookup-free).
+- lookup arguments (halo2 style): permuted input/table commitments after
+  theta, z_lookup grand products, the five-row constraint block
+  (evaluator.rs:126-218) and the 5-eval opening set (pcs.rs:74-86).
+
+Two engines emit byte-identical proofs: the host-golden python-int engine
+below (the correctness oracle) and the device engine in proof.engine
+(default; all polynomial math + MSMs on the accelerator).
 """
 
 from __future__ import annotations
@@ -182,7 +186,7 @@ class Column:
 
 @dataclass
 class ConstraintSystem:
-    """Circuit shape: columns, gates, copy constraints."""
+    """Circuit shape: columns, gates, copy constraints, lookups."""
 
     k: int
     num_fixed: int
@@ -190,18 +194,33 @@ class ConstraintSystem:
     gates: list = dc_field(default_factory=list)  # [(name, [Expr])]
     permutation_columns: list = dc_field(default_factory=list)  # [Column]
     copies: list = dc_field(default_factory=list)  # [(Column, row, Column, row)]
+    # halo2-style lookup arguments: [(name, [input Exprs], [table Exprs])];
+    # proof layout/evaluator semantics per codegen/evaluator.rs:126-218,
+    # util.rs:46-69, pcs.rs:74-86
+    lookups: list = dc_field(default_factory=list)
 
     # -- derived meta (mirrors ConstraintSystemMeta, codegen/util.rs:42-131) --
 
     def degree(self) -> int:
         gd = max([expr_degree(e) for _, es in self.gates for e in es] + [0])
+        for _name, ins, tabs in self.lookups:
+            da = max(expr_degree(e) for e in ins)
+            ds = max(expr_degree(e) for e in tabs)
+            # active * (z_next(A'+b)(S'+g) - z(A+b)(S+g)): 1 + max(3, 1+dA+dS)
+            gd = max(gd, 1 + max(3, 1 + da + ds))
         return max(3, gd)
+
+    def _all_exprs(self):
+        for _, es in self.gates:
+            yield from es
+        for _name, ins, tabs in self.lookups:
+            yield from ins
+            yield from tabs
 
     def advice_queries(self) -> list:
         aq, fq = [], []
-        for _, es in self.gates:
-            for e in es:
-                _walk_queries(e, aq, fq)
+        for e in self._all_exprs():
+            _walk_queries(e, aq, fq)
         for col in self.permutation_columns:
             if col.kind == "advice" and (col.index, 0) not in aq:
                 aq.append((col.index, 0))
@@ -209,9 +228,8 @@ class ConstraintSystem:
 
     def fixed_queries(self) -> list:
         aq, fq = [], []
-        for _, es in self.gates:
-            for e in es:
-                _walk_queries(e, aq, fq)
+        for e in self._all_exprs():
+            _walk_queries(e, aq, fq)
         for col in self.permutation_columns:
             if col.kind == "fixed" and (col.index, 0) not in fq:
                 fq.append((col.index, 0))
@@ -268,37 +286,35 @@ class ProvingKey:
 
 import os as _os
 
-_DEVICE_TABLES: dict = {}
-USE_DEVICE_COMMIT = _os.environ.get("ZKOS_DEVICE_COMMIT", "0") == "1"
+# Prover engine selection: "device" (default — all polynomial math and MSMs
+# on the accelerator via proof.engine) or "host" (python-int golden engine,
+# kept as the cross-check oracle: both emit byte-identical proofs).
+DEFAULT_ENGINE = _os.environ.get("ZKOS_PROVER_ENGINE", "device")
 
 
 def _commit(srs: srs_mod.Srs, coeffs: list[int]):
-    """Commit to coeffs.
-
-    Default engine: host Jacobian Pippenger (cg.msm_fast) — zero compile
-    cost, fast enough for keygen/tests.  Set ZKOS_DEVICE_COMMIT=1 to route
-    through the device MSM kernel with a cached SRS table (the production
-    path once kernels are compiled/cached).
-    """
+    """Host-engine commit (python-int Jacobian Pippenger)."""
     if not any(coeffs):
         return None
-    if not USE_DEVICE_COMMIT:
-        return cg.msm_fast(coeffs, srs.g1[: len(coeffs)])
+    return cg.msm_fast(coeffs, srs.g1[: len(coeffs)])
+
+
+def _commit_batch_device(srs: srs_mod.Srs, polys: list[list[int]], n: int):
+    """Device-engine batched commit: one MSM kernel call for many polys."""
     import jax.numpy as jnp
 
-    from ..ops import curve as C
-    from ..ops import field as F
-    from . import kzg
+    from . import engine as eng
 
-    key = id(srs)
-    if key not in _DEVICE_TABLES:
-        _DEVICE_TABLES[key] = kzg.DeviceSrs.build(srs)
-    dsrs = _DEVICE_TABLES[key]
-    m = len(coeffs)
-    # pad to the table size so every commit shares one compiled MSM shape
-    padded = list(coeffs) + [0] * (dsrs.n - m)
-    out = kzg.commit(dsrs, jnp.asarray(F.to_limbs(padded), dtype=jnp.uint32), c=8)
-    return C.point_to_affine_ints(out)
+    padded = [list(p) + [0] * (n - len(p)) for p in polys]
+    dpk_table = eng.srs_affine_table(srs, n)
+    coeff = eng.F.to_mont(eng.FR, eng.ints_to_device(padded))
+    wsums = eng.commit_table(dpk_table, coeff)
+    import numpy as _np
+
+    from ..ops import msm as M
+
+    return [M.fold_windows_host(_np.asarray(wsums[i]), eng.msm_c(n))
+            for i in range(len(polys))]
 
 
 def _perm_mapping(cs: ConstraintSystem):
@@ -332,15 +348,14 @@ def _perm_mapping(cs: ConstraintSystem):
 
 
 def keygen(cs: ConstraintSystem, srs: srs_mod.Srs,
-           fixed_values: list[list[int]]) -> tuple[ProvingKey, VerifyingKey]:
+           fixed_values: list[list[int]],
+           engine: str | None = None) -> tuple[ProvingKey, VerifyingKey]:
     """fixed_values: num_fixed lists of n ints (lagrange basis)."""
     n = 1 << cs.k
     assert srs.n >= n, "SRS too small for circuit"
     domain = dom.Domain(cs.k, quotient_degree=cs.degree())
     assert len(fixed_values) == cs.num_fixed
-
-    fixed_polys = [domain.lagrange_to_coeff(v) for v in fixed_values]
-    fixed_comms = [_commit(srs, p) for p in fixed_polys]
+    engine = engine or DEFAULT_ENGINE
 
     mapping = _perm_mapping(cs)
     omega_pows = [pow(domain.omega, r, P) for r in range(n)]
@@ -348,8 +363,20 @@ def keygen(cs: ConstraintSystem, srs: srs_mod.Srs,
     sigma_values = [
         [delta_pows[ci2] * omega_pows[r2] % P for (ci2, r2) in mapping[ci]]
         for ci in range(len(cs.permutation_columns))]
-    sigma_polys = [domain.lagrange_to_coeff(v) for v in sigma_values]
-    permutation_comms = [_commit(srs, p) for p in sigma_polys]
+
+    if engine == "device":
+        from . import engine as eng
+
+        fixed_polys = eng.lagrange_to_coeff_many(fixed_values, n)
+        sigma_polys = eng.lagrange_to_coeff_many(sigma_values, n)
+        comms = _commit_batch_device(srs, fixed_polys + sigma_polys, n)
+        fixed_comms = comms[: len(fixed_polys)]
+        permutation_comms = comms[len(fixed_polys) :]
+    else:
+        fixed_polys = [domain.lagrange_to_coeff(v) for v in fixed_values]
+        fixed_comms = [_commit(srs, p) for p in fixed_polys]
+        sigma_polys = [domain.lagrange_to_coeff(v) for v in sigma_values]
+        permutation_comms = [_commit(srs, p) for p in sigma_polys]
 
     # vk digest: framework-defined binding of the full verifying key
     h = bytearray()
@@ -382,13 +409,79 @@ def _column_values(kind: str, index: int, fixed, advice, instance_vals):
     return instance_vals
 
 
+# -- lookup helpers (shared by host prover/verifier and the device engine) --
+
+def compress_exprs_rows(exprs, theta: int, fixed, advice, instance_vals,
+                        n: int) -> list[int]:
+    """theta-Horner compression of expressions over all n rows.
+
+    Matches the evaluator's  input := input*theta + next  fold
+    (codegen/evaluator.rs:170-183); rotations wrap mod n.
+    """
+    def rot_col(vals, rot):
+        s = rot % n
+        return vals[s:] + vals[:s]
+
+    acc = None
+    for e in exprs:
+        vals = expr_eval(
+            e,
+            lambda i, r: rot_col(fixed[i], r),
+            lambda i, r: rot_col(advice[i], r),
+            lambda: instance_vals,
+            lambda a, b: [(x + y) % P for x, y in zip(a, b)],
+            lambda a, b: [x * y % P for x, y in zip(a, b)],
+            lambda v: [v % P] * n)
+        if acc is None:
+            acc = vals
+        else:
+            acc = [(a * theta + v) % P for a, v in zip(acc, vals)]
+    return acc
+
+
+def permute_lookup_pair(a_usable: list[int], s_usable: list[int]):
+    """halo2's permute_expression_pair: A' = sorted input; S' pairs each
+    first-occurrence of an input value, leftovers fill the gaps.
+
+    Raises ValueError if some input value is missing from the table.
+    """
+    from collections import Counter
+
+    a_sorted = sorted(a_usable)
+    counts = Counter(s_usable)
+    s_perm: list = [None] * len(a_sorted)
+    for i, v in enumerate(a_sorted):
+        if i == 0 or v != a_sorted[i - 1]:
+            if counts.get(v, 0) <= 0:
+                raise ValueError("lookup input not in table")
+            counts[v] -= 1
+            s_perm[i] = v
+    leftovers = iter(sorted(counts.elements()))
+    for i in range(len(s_perm)):
+        if s_perm[i] is None:
+            s_perm[i] = next(leftovers)
+    return a_sorted, s_perm
+
+
 def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
-          rng: _random.Random | None = None) -> bytes:
-    """advice_values: num_advice lists of n ints (lagrange, unblinded)."""
+          rng: _random.Random | None = None, engine: str | None = None) -> bytes:
+    """advice_values: num_advice lists of n ints (lagrange, unblinded).
+
+    engine="device" (default) runs every polynomial/commitment kernel on
+    the accelerator (proof.engine.prove_device); engine="host" is the
+    python-int golden engine below.  Both emit byte-identical proofs for
+    the same rng stream.  rng defaults to the dev-seed convention
+    (SHIELDER_RNG_SEED-style seed 42); pass ``random.SystemRandom()`` for
+    os-entropy blinding in production.
+    """
+    rng = rng or _random.Random(42)
+    if (engine or DEFAULT_ENGINE) == "device":
+        from . import engine as eng
+
+        return eng.prove_device(pk, advice_values, instances, rng)
     cs = pk.vk.cs
     d = pk.vk.domain
     n = d.n
-    rng = rng or _random.Random(42)
     bf = cs.blinding_factors()
     u = cs.usable_rows()  # last usable row index + ... rows 0..u-1 free, u = z boundary
     tr = Transcript(vk_digest=pk.vk.vk_digest)
@@ -406,12 +499,32 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     advice_polys = [d.lagrange_to_coeff(col) for col in advice]
     for p in advice_polys:
         tr.write_point(_commit(pk.srs, p))
-    _theta = tr.squeeze_challenge()
-    beta = tr.squeeze_challenge_cont()
+    theta = tr.squeeze_challenge()
+
+    # -- phase 1.5: lookup permuted input/table commitments --
+    fixed = pk.fixed_values
+    lookup_data = []
+    for _name, ins, tabs in cs.lookups:
+        a_comp = compress_exprs_rows(ins, theta, fixed, advice,
+                                     instance_vals, n)
+        s_comp = compress_exprs_rows(tabs, theta, fixed, advice,
+                                     instance_vals, n)
+        ap_u, sp_u = permute_lookup_pair(a_comp[:u], s_comp[:u])
+        ap = ap_u + [rng.randrange(P) for _ in range(u, n)]
+        sp = sp_u + [rng.randrange(P) for _ in range(u, n)]
+        ld = dict(a=a_comp, s=s_comp, ap=ap, sp=sp,
+                  ap_poly=d.lagrange_to_coeff(ap),
+                  sp_poly=d.lagrange_to_coeff(sp))
+        lookup_data.append(ld)
+        tr.write_point(_commit(pk.srs, ld["ap_poly"]))
+        tr.write_point(_commit(pk.srs, ld["sp_poly"]))
+    # beta is a fresh squeeze iff the permuted commitments were absorbed
+    # (util.rs:147-150 merges the beta/gamma phase only when lookup-free)
+    beta = (tr.squeeze_challenge() if cs.lookups
+            else tr.squeeze_challenge_cont())
     gamma = tr.squeeze_challenge_cont()
 
     # -- phase 2: permutation grand products + random poly --
-    fixed = pk.fixed_values
     perm_cols = cs.permutation_columns
     chunk_len = cs.permutation_chunk_len()
     chunks = [perm_cols[i : i + chunk_len]
@@ -443,6 +556,22 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     for p in z_polys:
         tr.write_point(_commit(pk.srs, p))
 
+    # lookup grand products (z_lookup per argument)
+    lookup_z_polys = []
+    for ld in lookup_data:
+        zl = [0] * n
+        zl[0] = 1
+        for r in range(u):
+            num = (ld["a"][r] + beta) * (ld["s"][r] + gamma) % P
+            den = (ld["ap"][r] + beta) * (ld["sp"][r] + gamma) % P
+            zl[r + 1] = zl[r] * num % P * pow(den, P - 2, P) % P
+        for r in range(u + 1, n):
+            zl[r] = rng.randrange(P)
+        ld["z"] = zl
+        zp = d.lagrange_to_coeff(zl)
+        lookup_z_polys.append(zp)
+        tr.write_point(_commit(pk.srs, zp))
+
     random_poly = [rng.randrange(P) for _ in range(n)]
     tr.write_point(_commit(pk.srs, random_poly))
     y = tr.squeeze_challenge()
@@ -469,6 +598,9 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         s = (rot * rot_step) % ext_n
         return vec[s:] + vec[:s]
 
+    lookup_z_ext = [ext(p) for p in lookup_z_polys]
+    lookup_pin_ext = [ext(ld["ap_poly"]) for ld in lookup_data]
+    lookup_ptab_ext = [ext(ld["sp_poly"]) for ld in lookup_data]
     ctx = _EvalCtx(
         fixed=lambda i, rot: rotate(fixed_ext[i], rot),
         advice=lambda i, rot: rotate(advice_ext[i], rot),
@@ -478,7 +610,11 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         l0=l0_ext, llast=llast_ext, lblind=lblind_ext,
         x_vec=[d.coset * pow(d.extended_omega, i, P) % P for i in range(ext_n)],
         beta=beta, gamma=gamma,
-        vec_len=ext_n)
+        vec_len=ext_n,
+        theta=theta,
+        lookup_z=lambda i, rot: rotate(lookup_z_ext[i], rot),
+        lookup_pin=lambda i, rot: rotate(lookup_pin_ext[i], rot),
+        lookup_ptab=lambda i: lookup_ptab_ext[i])
     numer = [0] * ext_n
     for expr_fn in numer_exprs:
         vals = expr_fn(ctx)
@@ -512,6 +648,14 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         tr.write_scalar(dom.poly_eval(zp, d.rotated_point(x, 1)))
         if i < nz - 1:
             tr.write_scalar(dom.poly_eval(zp, d.rotated_point(x, rot_last)))
+    # lookup evals: (z, z_next, p_input, p_input_prev, p_table) per lookup
+    # (util.rs Data::lookup_evals 5-tuple order)
+    for i, ld in enumerate(lookup_data):
+        tr.write_scalar(dom.poly_eval(lookup_z_polys[i], x))
+        tr.write_scalar(dom.poly_eval(lookup_z_polys[i], d.rotated_point(x, 1)))
+        tr.write_scalar(dom.poly_eval(ld["ap_poly"], x))
+        tr.write_scalar(dom.poly_eval(ld["ap_poly"], d.rotated_point(x, -1)))
+        tr.write_scalar(dom.poly_eval(ld["sp_poly"], x))
 
     # -- BDFG21 multiopen --
     zeta = tr.squeeze_challenge()
@@ -521,8 +665,12 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     for i in range(num_q - 1, -1, -1):
         t_fold = [(acc * x_n + c) % P for acc, c in zip(t_fold, t_pieces[i])]
 
-    queries = _open_queries(cs, advice_polys, z_polys, pk.sigma_polys,
-                            pk.vk.fixed_polys, t_fold, random_poly)
+    queries = _open_queries(
+        cs, advice_polys, z_polys, pk.sigma_polys, pk.vk.fixed_polys,
+        t_fold, random_poly,
+        lookup_zs=lookup_z_polys,
+        lookup_pins=[ld["ap_poly"] for ld in lookup_data],
+        lookup_ptabs=[ld["sp_poly"] for ld in lookup_data])
     sets = _rotation_sets(queries)
 
     h_poly = [0]
@@ -590,6 +738,10 @@ class _EvalCtx:
     beta: int
     gamma: int
     vec_len: int
+    theta: int = 0
+    lookup_z: object = None     # (i, rot) -> vector
+    lookup_pin: object = None   # (i, rot) -> vector (permuted input A')
+    lookup_ptab: object = None  # (i) -> vector (permuted table S')
 
 
 def _quotient_rows(cs: ConstraintSystem):
@@ -616,9 +768,64 @@ def _quotient_rows(cs: ConstraintSystem):
                 e, ctx.fixed, ctx.advice, ctx.instance,
                 vec_add, vec_mul, vec_const_fn(ctx)))
 
+    def _lookup_rows(rows):
+        """Five rows per lookup, matching evaluator.rs:126-218 exactly."""
+        for li, (_name, ins, tabs) in enumerate(cs.lookups):
+            # l_0 * (1 - z)
+            rows.append(lambda ctx, li=li: [
+                l0 * (1 - z0) % P
+                for l0, z0 in zip(ctx.l0, ctx.lookup_z(li, 0))])
+            # l_last * (z^2 - z)
+            rows.append(lambda ctx, li=li: [
+                ll * (zl * zl - zl) % P
+                for ll, zl in zip(ctx.llast, ctx.lookup_z(li, 0))])
+
+            # active * (z_next(A'+b)(S'+g) - z(A+b)(S+g))
+            def grand_row(ctx, li=li, ins=ins, tabs=tabs):
+                def compress(exprs):
+                    acc = None
+                    for e in exprs:
+                        v = expr_eval(
+                            e, ctx.fixed, ctx.advice, ctx.instance,
+                            lambda a2, b2: [(x + y) % P
+                                            for x, y in zip(a2, b2)],
+                            lambda a2, b2: [x * y % P
+                                            for x, y in zip(a2, b2)],
+                            lambda v2: [v2 % P] * ctx.vec_len)
+                        acc = v if acc is None else [
+                            (x * ctx.theta + y2) % P for x, y2 in zip(acc, v)]
+                    return acc
+
+                a_c = compress(ins)
+                s_c = compress(tabs)
+                out = []
+                for zn, pin, pt, z0, av, sv, ll, lb in zip(
+                        ctx.lookup_z(li, 1), ctx.lookup_pin(li, 0),
+                        ctx.lookup_ptab(li), ctx.lookup_z(li, 0),
+                        a_c, s_c, ctx.llast, ctx.lblind):
+                    lhs = zn * ((pin + ctx.beta) % P) % P \
+                        * ((pt + ctx.gamma) % P) % P
+                    rhs = z0 * ((av + ctx.beta) % P) % P \
+                        * ((sv + ctx.gamma) % P) % P
+                    out.append((lhs - rhs) * (1 - (ll + lb)) % P)
+                return out
+
+            rows.append(grand_row)
+            # l_0 * (A' - S')
+            rows.append(lambda ctx, li=li: [
+                l0 * (pin - pt) % P for l0, pin, pt in zip(
+                    ctx.l0, ctx.lookup_pin(li, 0), ctx.lookup_ptab(li))])
+            # active * (A' - S') * (A' - A'(w^-1 X))
+            rows.append(lambda ctx, li=li: [
+                ((pin - pt) * (pin - pprev) % P) * (1 - (ll + lb)) % P
+                for pin, pt, pprev, ll, lb in zip(
+                    ctx.lookup_pin(li, 0), ctx.lookup_ptab(li),
+                    ctx.lookup_pin(li, -1), ctx.llast, ctx.lblind)])
+        return rows
+
     nz = cs.num_permutation_zs()
     if nz == 0:
-        return rows
+        return _lookup_rows(rows)
     chunk_len = cs.permutation_chunk_len()
     chunks = [cs.permutation_columns[i : i + chunk_len]
               for i in range(0, len(cs.permutation_columns), chunk_len)]
@@ -661,7 +868,7 @@ def _quotient_rows(cs: ConstraintSystem):
 
         rows.append(prod_row)
         col_offset += len(chunk)
-    return rows
+    return _lookup_rows(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -669,7 +876,8 @@ def _quotient_rows(cs: ConstraintSystem):
 # ---------------------------------------------------------------------------
 
 def _open_queries(cs, advice_polys, z_polys, sigma_polys, fixed_polys,
-                  t_fold, random_poly):
+                  t_fold, random_poly, lookup_zs=(), lookup_pins=(),
+                  lookup_ptabs=()):
     """Ordered (poly_key, rot, poly) per codegen/pcs.rs:60-104."""
     out = []
     nz = len(z_polys)
@@ -681,6 +889,14 @@ def _open_queries(cs, advice_polys, z_polys, sigma_polys, fixed_polys,
         out.append((("perm_z", i), 1, zp))
     for i in range(nz - 2, -1, -1):
         out.append((("perm_z", i), rot_last, z_polys[i]))
+    # lookups: z@0, permuted_input@0, permuted_table@0, permuted_input@-1,
+    # z@+1 (pcs.rs:74-86)
+    for i in range(len(lookup_zs)):
+        out.append((("lookup_z", i), 0, lookup_zs[i]))
+        out.append((("lookup_pin", i), 0, lookup_pins[i]))
+        out.append((("lookup_ptab", i), 0, lookup_ptabs[i]))
+        out.append((("lookup_pin", i), -1, lookup_pins[i]))
+        out.append((("lookup_z", i), 1, lookup_zs[i]))
     for idx, rot in cs.fixed_queries():
         out.append((("fixed", idx), rot, fixed_polys[idx]))
     for i, sp in enumerate(sigma_polys):
@@ -765,11 +981,16 @@ def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
         tr.common_scalar(x)
 
     advice_comms = [tr.read_point() for _ in range(cs.num_advice)]
-    _theta = tr.squeeze_challenge()
-    beta = tr.squeeze_challenge_cont()
+    theta = tr.squeeze_challenge()
+    n_lk = len(cs.lookups)
+    lookup_permuted_comms = [(tr.read_point(), tr.read_point())
+                             for _ in range(n_lk)]  # (A', S') per lookup
+    beta = (tr.squeeze_challenge() if cs.lookups
+            else tr.squeeze_challenge_cont())
     gamma = tr.squeeze_challenge_cont()
     nz = cs.num_permutation_zs()
     z_comms = [tr.read_point() for _ in range(nz)]
+    lookup_z_comms = [tr.read_point() for _ in range(n_lk)]
     random_comm = tr.read_point()
     y = tr.squeeze_challenge()
     num_q = cs.num_quotients()
@@ -788,6 +1009,9 @@ def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
         e1 = tr.read_scalar()
         e2 = tr.read_scalar() if i < nz - 1 else None
         z_evals.append((e0, e1, e2))
+    # (z, z_next, p_input, p_input_prev, p_table) per lookup
+    lookup_evals = [tuple(tr.read_scalar() for _ in range(5))
+                    for _ in range(n_lk)]
 
     # Lagrange + instance machinery (template :399-471)
     x_n = pow(x, n, P)
@@ -815,7 +1039,11 @@ def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
         z=lambda i, rot: [z_evals[i][{0: 0, 1: 1, rot_last: 2}[rot]]],
         sigma=lambda i: [sigma_evals[i]],
         l0=[l_0], llast=[l_last], lblind=[l_blind],
-        x_vec=[x], beta=beta, gamma=gamma, vec_len=1)
+        x_vec=[x], beta=beta, gamma=gamma, vec_len=1,
+        theta=theta,
+        lookup_z=lambda i, rot: [lookup_evals[i][{0: 0, 1: 1}[rot]]],
+        lookup_pin=lambda i, rot: [lookup_evals[i][{0: 2, -1: 3}[rot]]],
+        lookup_ptab=lambda i: [lookup_evals[i][4]])
     numer = 0
     for row in rows:
         numer = (numer * y + row(ctx)[0]) % P
@@ -843,6 +1071,15 @@ def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
         vq.append((("perm_z", i), 1, z_comms[i], z_evals[i][1]))
     for i in range(nz - 2, -1, -1):
         vq.append((("perm_z", i), rot_last, z_comms[i], z_evals[i][2]))
+    for i in range(n_lk):
+        zc = lookup_z_comms[i]
+        pin_c, ptab_c = lookup_permuted_comms[i]
+        ev5 = lookup_evals[i]
+        vq.append((("lookup_z", i), 0, zc, ev5[0]))
+        vq.append((("lookup_pin", i), 0, pin_c, ev5[2]))
+        vq.append((("lookup_ptab", i), 0, ptab_c, ev5[4]))
+        vq.append((("lookup_pin", i), -1, pin_c, ev5[3]))
+        vq.append((("lookup_z", i), 1, zc, ev5[1]))
     for idx, rot in fq:
         vq.append((("fixed", idx), rot, vk.fixed_comms[idx], fixed_evals[(idx, rot)]))
     for i, comm in enumerate(vk.permutation_comms):

@@ -46,6 +46,24 @@ def rng_seed() -> int:
     return int(os.environ.get("SHIELDER_RNG_SEED", "42"))
 
 
+def blinding_rng(seed: int = 0):
+    """The prover's blinding randomness source.
+
+    Mirrors the reference split between dev determinism and production
+    entropy: tests/dev flows pass an explicit seed (or inherit
+    SHIELDER_RNG_SEED, shielder-setup/lib.rs:16-41), while
+    SHIELDER_RNG_SEED=os — or seed=-1 — selects os-entropy blinding
+    (random.SystemRandom), the analog of the bindings' OsRng proving path
+    (crates/shielder_bindings/src/circuits/mod.rs:103-111).
+    """
+    import random
+
+    if seed == -1 or (not seed
+                      and os.environ.get("SHIELDER_RNG_SEED") == "os"):
+        return random.SystemRandom()
+    return random.Random(seed or rng_seed())
+
+
 def protocol_fee_from_gross(amount: int, fee_bps: int) -> int:
     """Fee charged on a gross amount: ceil(amount * bps / 10000)."""
     return -(-amount * fee_bps // BPS_DENOMINATOR)

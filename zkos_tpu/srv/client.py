@@ -82,12 +82,14 @@ def recover_state(id_: int, sim: contract.ShielderSim,
         if block == 0:
             break
         event = _find_event(sim, block)
-        kind, _note, idx, amount, protocol_fee, _memo = event
         acc.register_action(ShielderAction(
             kind={"NewAccount": "new_account", "Deposit": "deposit",
-                  "Withdraw": "withdraw"}[kind],
-            amount=amount, protocol_fee=protocol_fee, note_index=idx,
-            token_address=token_address, block=block))
+                  "Withdraw": "withdraw", "NewAccountERC20": "new_account",
+                  "DepositERC20": "deposit",
+                  "WithdrawERC20": "withdraw"}[event["kind"]],
+            amount=event["amount"], protocol_fee=event["protocol_fee"],
+            note_index=event["index"], token_address=token_address,
+            block=block))
     return acc
 
 

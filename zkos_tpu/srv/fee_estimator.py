@@ -1,9 +1,11 @@
 """Standalone fee-estimation service.
 
-Mirrors crates/fee-estimator: a refresh loop re-estimates gas for
-newAccount/deposit by dry-running against seeded accounts (src/fees.rs:23-67,
-concurrent estimation), serves cached results on /get_fees and /health
-(src/main.rs:53-67).
+Mirrors crates/fee-estimator: at startup the operator seeds the estimator
+with prepared calls (real calldata + proofs from seeded shielder accounts,
+src/fees.rs "EstimateGas from seeded accounts"); a refresh loop re-estimates
+gas for each action by *dry-running* those calls against the live contract
+state concurrently (src/fees.rs:23-67, tokio::join!), and serves cached
+results on /get_fees and /health (src/main.rs:53-67).
 """
 
 from __future__ import annotations
@@ -14,23 +16,55 @@ import time
 from dataclasses import dataclass, field as dc_field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-# static gas shapes of the simulated entrypoints (the sim has no real gas
-# metering; these anchor to the reference's measured magnitudes, §6)
-BASE_GAS = {"new_account": 642_011, "deposit": 831_764}
+
+@dataclass
+class SeededCall:
+    """A prepared entrypoint invocation used solely for gas estimation."""
+
+    method: str  # e.g. "new_account_native"
+    kwargs: dict
 
 
 @dataclass
 class FeeEstimator:
+    """Dry-run-based gas estimator against a ShielderSim.
+
+    sim: the contract simulator (its dry_run is the eth_estimateGas analog);
+    seeded_calls: action name -> SeededCall prepared from seeded accounts.
+    """
+
+    sim: object = None
+    seeded_calls: dict = dc_field(default_factory=dict)
     gas_price_fn: object = lambda: 1
     refresh_interval_s: float = 5.0
     estimates: dict = dc_field(default_factory=dict)
+    errors: dict = dc_field(default_factory=dict)
     updated_at: float = 0.0
 
     def refresh(self):
+        """Concurrently dry-run every seeded call (fees.rs:30-67)."""
         price = self.gas_price_fn()
-        self.estimates = {
-            action: {"gas": gas, "fee": gas * price}
-            for action, gas in BASE_GAS.items()}
+        results: dict = {}
+        errors: dict = {}
+        lock = threading.Lock()
+
+        def estimate(action, call):
+            try:
+                _, gas = self.sim.dry_run(call.method, **call.kwargs)
+                with lock:
+                    results[action] = {"gas": gas, "fee": gas * price}
+            except Exception as e:  # revert -> surfaced, not cached
+                with lock:
+                    errors[action] = str(e)
+
+        threads = [threading.Thread(target=estimate, args=(a, c))
+                   for a, c in self.seeded_calls.items()]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        self.estimates = results
+        self.errors = errors
         self.updated_at = time.time()
 
     def start_refresh_loop(self) -> threading.Thread:
