@@ -76,3 +76,42 @@ def test_calldata_roundtrip(setup):
     blob = codegen.encode_calldata(proof, [result])
     proof2, instances = codegen.decode_calldata(blob)
     assert proof2 == proof and instances == [result]
+
+
+def test_generated_verifier_lookup_circuit(tmp_path):
+    """Generated artifact replays the lookup transcript + 5-row block."""
+    srs = srs_mod.synthetic_srs(k=K)
+    q, t = plonk.Fixed(0), plonk.Fixed(1)
+    a, b = plonk.Advice(0), plonk.Advice(1)
+    cs = plonk.ConstraintSystem(k=K, num_fixed=2, num_advice=2)
+    cs.gates.append(("copy_b", [q * (b - a)]))
+    cs.lookups.append(("range16", [q * a], [t]))
+    cs.permutation_columns = [plonk.Column("advice", 0),
+                              plonk.Column("instance", 0)]
+    cs.copies.append((plonk.Column("advice", 0), 0,
+                      plonk.Column("instance", 0), 0))
+    qv = [0] * N
+    tv = [0] * N
+    av = [0] * N
+    bv = [0] * N
+    for i in range(16):
+        tv[i] = i
+    for r, v in enumerate([1, 5, 15, 0, 7]):
+        qv[r] = 1
+        av[r] = v
+        bv[r] = v
+    pk, vk = plonk.keygen(cs, srs, [qv, tv], engine="host")
+    proof = plonk.prove(pk, [av, bv], [1], rng=random.Random(9),
+                        engine="host")
+    assert plonk.verify(vk, proof, [1])
+
+    path = str(tmp_path / "lookup_verifier.py")
+    codegen.generate_verifier(vk, path)
+    spec = importlib.util.spec_from_file_location("lookup_verifier", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.verify(proof, [1])
+    assert not mod.verify(proof, [2])
+    bad = bytearray(proof)
+    bad[80] ^= 1
+    assert not mod.verify(bytes(bad), [1])

@@ -181,3 +181,42 @@ def test_client_state_file_and_recovery(tmp_path):
     assert loaded.account == acc
     with pytest.raises(AssertionError):
         cl.ClientState.load(path, b"wrong")
+
+
+def test_nonce_manager_conflict_and_resync():
+    """Caching-provider nonce race -> SignerConflict -> resync recovers
+    (shielder-contract/src/lib.rs:50-61, providers.rs)."""
+    nm = rl.NonceManager("caching")
+    s = 0x51
+    n0 = nm.next_nonce(s)
+    n1 = nm.next_nonce(s)  # raced: cached counter advanced twice
+    nm.submit(s, n0)
+    # a second relayer (stateless view) stole the next slot on chain
+    nm.chain_nonces[s] += 1
+    with pytest.raises(rl.SignerConflict, match="nonce"):
+        nm.submit(s, n1)
+    assert rl.classify_submit_error("RPC: nonce too low") == "SignerConflict"
+    assert rl.classify_submit_error("already known") == "SignerConflict"
+    assert rl.classify_submit_error("out of gas") == "Other"
+    nm.resync(s)
+    n2 = nm.next_nonce(s)
+    nm.submit(s, n2)  # recovered
+
+
+def test_monitors_and_gauges():
+    sim = _sim()
+    _seed_account(sim, note=801)
+    tm = rl.Taskmaster(sim, signer_keys=[0xC0, 0xC1])
+    try:
+        sim.balances[0xC0] = 5_000
+        tm.balance_monitor.sample()
+        out = tm.metrics.render()
+        assert 'signer_balances{id="0xc0"} 5000' in out
+        assert "fee_destination_balance" in out
+        assert tm.rpc_monitor.healthy()
+        sim.paused = True
+        time.sleep(1.1)  # cached validity expires (rpc_monitor.rs)
+        assert not tm.rpc_monitor.healthy()
+    finally:
+        sim.paused = False
+        tm.shutdown()

@@ -33,7 +33,8 @@ N_ROUNDS = ROUNDS_F + ROUNDS_P
 NUM_STATE = T  # 8
 ADV_S = list(range(0, 8))  # state lanes
 ADV_V = list(range(8, 16))  # sbox cubes / scratch
-NUM_ADVICE = 16
+ADV_BYTE = 16  # dedicated byte-lookup column: EVERY row is table-constrained
+NUM_ADVICE = 17
 
 # fixed columns: 0..7 round constants / generic constants, then selectors
 FIX_C = list(range(0, 8))
@@ -48,7 +49,10 @@ SEL_GR_ADD = 22     # grumpkin plain incomplete addition row
 SEL_ONCURVE = 23    # grumpkin on-curve check of (s0, s1)
 SEL_ONEHOT7 = 24    # 7-way select: s7 = sum v_j * s_j, v one-hot
 SEL_LIN = 25        # linear row: s2 = s0 + c0 * s1  (c0 = ±1 etc.)
-NUM_FIXED = 26
+FIX_RANGE = 26      # 8-bit range table: row i holds i for i < 256, else 0
+SEL_BYTE = 27       # byte-decomposition accumulator row
+NUM_FIXED = 28
+RANGE_TABLE_BITS = 8
 
 
 @dataclass
@@ -66,6 +70,8 @@ class Builder:
         n = 1 << self.k
         self.advice = [[0] * n for _ in range(NUM_ADVICE)]
         self.fixed = [[0] * n for _ in range(NUM_FIXED)]
+        for i in range(min(1 << RANGE_TABLE_BITS, n)):
+            self.fixed[FIX_RANGE][i] = i
 
     def alloc(self, rows: int) -> int:
         r = self.next_row
@@ -188,6 +194,37 @@ def witness_cell(b: Builder, value: int, scratch_col: int = ADV_V[7]) -> tuple[i
     row = b.alloc(1)
     b.advice[scratch_col][row] = value % P
     return (scratch_col, row)
+
+
+def byte_decompose(b: Builder, value_cell: tuple[int, int], n_bits: int):
+    """Range-check value < 2^n_bits via the 8-bit lookup table.
+
+    One byte per row (MSB-first) in the dedicated ADV_BYTE column — which
+    the ``byte_range`` lookup constrains to [0, 256) on EVERY row — with a
+    base-256 running accumulator in s7:  acc' = 256*acc + byte.  Replaces
+    the 9-constraint-per-row bit decomposition for balance range checks
+    (the reference uses halo2 range-table lookups the same way).
+    Requires k >= 9 (the table needs 256 usable rows).
+    """
+    assert n_bits % 8 == 0
+    assert (1 << b.k) >= (1 << RANGE_TABLE_BITS) + 16, "k too small for table"
+    n_bytes = n_bits // 8
+    val = b.advice[value_cell[0]][value_cell[1]]
+    assert val < (1 << n_bits), "value exceeds bit width"
+    r0 = b.alloc(n_bytes + 1)
+    b.advice[ADV_S[7]][r0] = 0
+    b.fixed[FIX_C[7]][r0] = 0
+    b.fixed[FIX_CAPMASK[7]][r0] = 1
+    b.fixed[SEL_CAP][r0] = 1
+    acc = 0
+    for i in range(n_bytes):
+        row = r0 + i
+        byte = (val >> (8 * (n_bytes - 1 - i))) & 0xFF
+        b.fixed[SEL_BYTE][row] = 1
+        b.advice[ADV_BYTE][row] = byte
+        acc = acc * 256 + byte
+        b.advice[ADV_S[7]][row + 1] = acc % P
+    b.copy(ADV_S[7], r0 + n_bytes, value_cell[0], value_cell[1])
 
 
 def bit_decompose(b: Builder, value_cell: tuple[int, int], n_bits: int) -> list:
@@ -449,4 +486,12 @@ def build_constraint_system(k: int) -> plonk.ConstraintSystem:
     # SEL_LIN: s2 = s0 + c0 * s1
     q_lin = plonk.Fixed(SEL_LIN)
     cs.gates.append(("linear", [q_lin * (s[2] - (s[0] + c[0] * s[1]))]))
+
+    # SEL_BYTE: base-256 accumulator; the byte column itself is constrained
+    # to [0, 256) on every row by the range-table lookup
+    q_byte = plonk.Fixed(SEL_BYTE)
+    byte_col = plonk.Advice(ADV_BYTE)
+    cs.gates.append(("byte_acc", [
+        q_byte * (s_next[7] - (256 * s[7] + byte_col))]))
+    cs.lookups.append(("byte_range", [byte_col], [plonk.Fixed(FIX_RANGE)]))
     return cs

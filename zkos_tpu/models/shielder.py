@@ -126,8 +126,8 @@ def build_new_account(k: int, pkn: NewAccountProverKnowledge) -> gd.Builder:
     note_c = _note_cell(b, id_c, nul_c, dep_c, tok_c)
     pre_c = gd.poseidon_hash(b, [id_c])
 
-    # range check the shielded amount
-    gd.bit_decompose(b, dep_c, BALANCE_BITS)
+    # range check the shielded amount (8-bit lookup table)
+    gd.byte_decompose(b, dep_c, BALANCE_BITS)
 
     # viewing-key point M = (id, y) on curve, y as free witness
     m_pt = GR.lift_x(pkn.id)
@@ -233,9 +233,10 @@ def _build_transfer(k: int, pkn, value: int, new_balance: int,
     _balance_row(b, bal_old_c, val_c, bal_new_c, is_withdraw)
 
     # range checks: both balances and the moved value fit 112 bits
-    gd.bit_decompose(b, bal_old_c, BALANCE_BITS)
-    gd.bit_decompose(b, bal_new_c, BALANCE_BITS)
-    gd.bit_decompose(b, val_c, BALANCE_BITS)
+    # (byte decomposition against the 8-bit lookup table)
+    gd.byte_decompose(b, bal_old_c, BALANCE_BITS)
+    gd.byte_decompose(b, bal_new_c, BALANCE_BITS)
+    gd.byte_decompose(b, val_c, BALANCE_BITS)
 
     # old note and membership
     old_note_c = _note_cell(b, id_c, nul_old_c, bal_old_c, tok_c)

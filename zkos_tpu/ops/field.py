@@ -106,10 +106,40 @@ def from_limbs(a):
     return [from_limbs(a[:, i]) for i in range(a.shape[1])]
 
 
-def const(spec_or_int, ndim: int = 1) -> jax.Array:
-    """A host int (or (18,) array) as a (18, 1, 1, ...) broadcastable array."""
+# Pallas kernels cannot capture array constants (they become jaxpr
+# constvars, which pallas_call rejects).  Kernels therefore pass the needed
+# field constants in as an input ref and install a lookup here, keyed by
+# the constant's canonical (18,)-limb bytes; ``const`` then returns slices
+# of that ref instead of fresh NumPy literals.  See ops.msm's prefix-scan
+# kernel for the pattern.
+_CONST_HOOK: dict | None = None
+
+
+def set_const_hook(hook: dict | None):
+    global _CONST_HOOK
+    _CONST_HOOK = hook
+
+
+def const_key(value_or_arr) -> bytes:
+    arr = (value_or_arr if isinstance(value_or_arr, np.ndarray)
+           else _np_limbs(int(value_or_arr)))
+    return arr.astype(np.uint32).tobytes()
+
+
+def const(spec_or_int, ndim: int = 1):
+    """A host int (or (18,) array) as a (18, 1, 1, ...) broadcastable array.
+
+    Returns a NumPy array (an inline literal for jnp ops) unless a Pallas
+    const hook is installed, in which case the matching input-ref slice is
+    returned reshaped.
+    """
     arr = spec_or_int if isinstance(spec_or_int, np.ndarray) else _np_limbs(int(spec_or_int))
-    return jnp.asarray(arr.reshape((N_LIMBS,) + (1,) * (ndim - 1)), dtype=U32)
+    arr = arr.astype(np.uint32)
+    if _CONST_HOOK is not None:
+        got = _CONST_HOOK.get(arr.tobytes())
+        if got is not None:
+            return got.reshape((N_LIMBS,) + (1,) * (ndim - 1))
+    return arr.reshape((N_LIMBS,) + (1,) * (ndim - 1))
 
 
 def _pad0(x: jax.Array, before: int, after: int) -> jax.Array:

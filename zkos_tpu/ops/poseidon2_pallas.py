@@ -65,11 +65,12 @@ def _carry_once(t):
         [jnp.zeros((1,) + t.shape[1:], jnp.uint32), hi[:-1]], axis=0)
 
 
-def _mont_mul(a, b_or_scalars, p_scalars=_P_INTS):
+def _mont_mul(a, b_or_scalars, p_scalars=_P_INTS, np0=_NP0):
     """CIOS Montgomery product, Mosaic-safe (concat shifts, no scatter).
 
     ``a`` is (18, *batch) lazy Montgomery.  ``b_or_scalars`` is either a
-    matching array or a list of 18 python ints (constant operand).  Column
+    matching array or a list of 18 python ints (constant operand); pass
+    ``p_scalars``/``np0`` of the right modulus (defaults: Fr).  Column
     bounds are identical to field._mont_mul_unrolled.
     """
     a = _carry_once(a)
@@ -92,7 +93,7 @@ def _mont_mul(a, b_or_scalars, p_scalars=_P_INTS):
         t = _shift_add(t, prod & _MASK, i)
         t = _shift_add(t, prod >> _BITS, i + 1)
     for i in range(_N):
-        m = ((t[i] & _MASK) * _NP0) & _MASK
+        m = ((t[i] & _MASK) * np0) & _MASK
         prod = jnp.stack([m * np.uint32(pj) for pj in p_scalars], axis=0)
         t = _shift_add(t, prod & _MASK, i)
         t = _shift_add(t, prod >> _BITS, i + 1)

@@ -81,6 +81,31 @@ def render_verifier(vk: plonk.VerifyingKey, name: str = "Verifier") -> str:
                 f"        (({lhs}) - ({rhs})) * (1 - (l_last + l_blind)) % P,")
             col_offset += len(chunk)
 
+    # lookup rows, specialized (evaluator.rs lookup_computations)
+    lk_lines = []
+    for li, (_lname, ins, tabs) in enumerate(cs.lookups):
+        def _compress(exprs):
+            acc = _render_expr(exprs[0])
+            for e in exprs[1:]:
+                acc = f"(({acc})*theta + {_render_expr(e)})"
+            return acc
+
+        a_c = _compress(ins)
+        s_c = _compress(tabs)
+        z, zn, pin, pprev, ptab = (f"LK[{li}][0]", f"LK[{li}][1]",
+                                   f"LK[{li}][2]", f"LK[{li}][3]",
+                                   f"LK[{li}][4]")
+        lk_lines.append(f"        l_0 * (1 - {z}) % P,")
+        lk_lines.append(f"        l_last * ({z}*{z} - {z}) % P,")
+        lk_lines.append(
+            f"        ({zn}*(({pin}+beta)%P)%P*(({ptab}+gamma)%P)"
+            f" - {z}*((({a_c})+beta)%P)%P*((({s_c})+gamma)%P))"
+            f" * (1 - (l_last + l_blind)) % P,")
+        lk_lines.append(f"        l_0 * ({pin} - {ptab}) % P,")
+        lk_lines.append(
+            f"        (({pin} - {ptab}) * ({pin} - {pprev}) % P)"
+            f" * (1 - (l_last + l_blind)) % P,")
+
     fixed_evals_needed = cs.fixed_queries()
     advice_queries = cs.advice_queries()
 
@@ -105,6 +130,7 @@ OMEGA_INV = {d.omega_inv}
 VK_DIGEST = {vk.vk_digest}
 NUM_ADVICE = {cs.num_advice}
 NUM_Z = {nz}
+NUM_LOOKUPS = {len(cs.lookups)}
 NUM_QUOTIENTS = {cs.num_quotients()}
 ROT_LAST = {rot_last}
 ADVICE_QUERIES = {advice_queries!r}
@@ -118,11 +144,13 @@ def _rot_point(x, rot):
     return x * pow(w, abs(rot), P) % P
 
 
-def _quotient_rows(A, F, IE, Z, S, x, beta, gamma, l_0, l_last, l_blind):
-    """Specialized gate + permutation numerator rows (y-Horner order)."""
+def _quotient_rows(A, F, IE, Z, S, LK, x, theta, beta, gamma,
+                   l_0, l_last, l_blind):
+    """Specialized gate+permutation+lookup numerator rows (y-Horner)."""
     return [
 {chr(10).join(gate_lines)}
 {chr(10).join(perm_lines)}
+{chr(10).join(lk_lines)}
     ]
 
 
@@ -139,10 +167,14 @@ def _verify(proof: bytes, instances: list) -> bool:
         assert 0 <= v < P
         tr.common_scalar(v)
     advice_comms = [tr.read_point() for _ in range(NUM_ADVICE)]
-    _theta = tr.squeeze_challenge()
-    beta = tr.squeeze_challenge_cont()
+    theta = tr.squeeze_challenge()
+    lk_perm_comms = [(tr.read_point(), tr.read_point())
+                     for _ in range(NUM_LOOKUPS)]
+    beta = (tr.squeeze_challenge() if NUM_LOOKUPS
+            else tr.squeeze_challenge_cont())
     gamma = tr.squeeze_challenge_cont()
     z_comms = [tr.read_point() for _ in range(NUM_Z)]
+    lk_z_comms = [tr.read_point() for _ in range(NUM_LOOKUPS)]
     random_comm = tr.read_point()
     y = tr.squeeze_challenge()
     q_comms = [tr.read_point() for _ in range(NUM_QUOTIENTS)]
@@ -157,6 +189,8 @@ def _verify(proof: bytes, instances: list) -> bool:
         e0 = tr.read_scalar(); e1 = tr.read_scalar()
         e2 = tr.read_scalar() if i < NUM_Z - 1 else None
         Z.append((e0, e1, e2))
+    LK = [tuple(tr.read_scalar() for _ in range(5))
+          for _ in range(NUM_LOOKUPS)]
 
     x_n = pow(x, N, P)
     zh = (x_n - 1) % P
@@ -173,7 +207,7 @@ def _verify(proof: bytes, instances: list) -> bool:
     IE = sum(v * lag(i) for i, v in enumerate(instances)) % P
 
     numer = 0
-    for row in _quotient_rows(A, F, IE, Z, S, x, beta, gamma,
+    for row in _quotient_rows(A, F, IE, Z, S, LK, x, theta, beta, gamma,
                               l_0, l_last, l_blind):
         numer = (numer * y + row) % P
     quotient_eval = numer * pow(zh, P - 2, P) % P
@@ -198,6 +232,12 @@ def _verify(proof: bytes, instances: list) -> bool:
         vq.append((("perm_z", i), 1, z_comms[i], Z[i][1]))
     for i in range(NUM_Z - 2, -1, -1):
         vq.append((("perm_z", i), ROT_LAST, z_comms[i], Z[i][2]))
+    for i in range(NUM_LOOKUPS):
+        vq.append((("lookup_z", i), 0, lk_z_comms[i], LK[i][0]))
+        vq.append((("lookup_pin", i), 0, lk_perm_comms[i][0], LK[i][2]))
+        vq.append((("lookup_ptab", i), 0, lk_perm_comms[i][1], LK[i][4]))
+        vq.append((("lookup_pin", i), -1, lk_perm_comms[i][0], LK[i][3]))
+        vq.append((("lookup_z", i), 1, lk_z_comms[i], LK[i][1]))
     for idx, rot in FIXED_QUERIES:
         vq.append((("fixed", idx), rot, FIXED_COMMS[idx], F[(idx, rot)]))
     for i, comm in enumerate(PERMUTATION_COMMS):

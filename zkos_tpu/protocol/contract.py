@@ -254,10 +254,10 @@ class ShielderSim:
         ]
         if not self.verify_withdraw(proof, pub):
             _revert("WithdrawVerificationFailed")
+        if amount > self.balance:
+            _revert("NativeTransferFailed")  # atomic: no state mutated yet
         idx = self.tree.add_note(new_note)
         self._register_nullifier(old_nullifier_hash)
-        if amount > self.balance:
-            _revert("NativeTransferFailed")
         self.balance -= amount
         recv = amount - protocol_fee - relayer_fee
         self.balances[withdrawal_address] = (
@@ -323,11 +323,12 @@ class ShielderSim:
         ]
         if not self.verify_new_account(proof, pub):
             _revert("NewAccountVerificationFailed")
-        idx = self.tree.add_note(new_note)
-        self._register_nullifier(prenullifier)
+        # transfers first: a SafeERC20 revert must leave no state behind
         self._transfer_erc20(token_address, caller, self.CONTRACT_ADDR, amount)
         self._transfer_erc20(token_address, self.CONTRACT_ADDR,
                              self.protocol_fee_receiver, protocol_fee)
+        idx = self.tree.add_note(new_note)
+        self._register_nullifier(prenullifier)
         self.events.append(dict(
             kind="NewAccountERC20", note=new_note, index=idx, amount=amount,
             protocol_fee=protocol_fee, memo=memo, token=token_address,
@@ -363,11 +364,11 @@ class ShielderSim:
         ]
         if not self.verify_deposit(proof, pub):
             _revert("DepositVerificationFailed")
-        idx = self.tree.add_note(new_note)
-        self._register_nullifier(old_nullifier_hash)
         self._transfer_erc20(token_address, caller, self.CONTRACT_ADDR, amount)
         self._transfer_erc20(token_address, self.CONTRACT_ADDR,
                              self.protocol_fee_receiver, protocol_fee)
+        idx = self.tree.add_note(new_note)
+        self._register_nullifier(old_nullifier_hash)
         self.events.append(dict(
             kind="DepositERC20", note=new_note, index=idx, amount=amount,
             protocol_fee=protocol_fee, memo=memo, token=token_address,
@@ -407,8 +408,6 @@ class ShielderSim:
         ]
         if not self.verify_withdraw(proof, pub):
             _revert("WithdrawVerificationFailed")
-        idx = self.tree.add_note(new_note)
-        self._register_nullifier(old_nullifier_hash)
         recv = amount - protocol_fee - relayer_fee
         self._transfer_erc20(token_address, self.CONTRACT_ADDR,
                              withdrawal_address, recv)
@@ -416,6 +415,8 @@ class ShielderSim:
                              relayer_address, relayer_fee)
         self._transfer_erc20(token_address, self.CONTRACT_ADDR,
                              self.protocol_fee_receiver, protocol_fee)
+        idx = self.tree.add_note(new_note)
+        self._register_nullifier(old_nullifier_hash)
         # native pocket money rides along from the relayer's msg.value
         self.balances[withdrawal_address] = (
             self.balances.get(withdrawal_address, 0) + pocket_money)

@@ -50,16 +50,138 @@ class FeeConfig:
 
 @dataclass
 class Metrics:
-    """Counter names from metrics.rs:15-24."""
+    """Counter + gauge names from metrics.rs:15-24."""
 
     withdraw_success: int = 0
     withdraw_failure: int = 0
     withdraw_dry_run_failure: int = 0
+    signer_conflicts: int = 0
     requests_total: int = 0
+    gauges: dict = dc_field(default_factory=dict)  # signer_balances etc.
 
     def render(self) -> str:
-        return "".join(
-            f"zkos_relayer_{k} {v}\n" for k, v in vars(self).items())
+        out = "".join(
+            f"zkos_relayer_{k} {v}\n" for k, v in vars(self).items()
+            if k != "gauges")
+        for name, labeled in self.gauges.items():
+            if isinstance(labeled, dict):
+                out += "".join(
+                    f'zkos_relayer_{name}{{id="{lid}"}} {v}\n'
+                    for lid, v in labeled.items())
+            else:
+                out += f"zkos_relayer_{name} {labeled}\n"
+        return out
+
+
+# -- nonce handling (shielder-contract/src/lib.rs:50-61, providers.rs) --
+
+class SignerConflict(Exception):
+    """Two submissions raced on one signer's nonce (nonce too low)."""
+
+
+def classify_submit_error(msg: str) -> str:
+    """Error-string sniffing: 'nonce too low'/'already known' mean another
+    tx from the same signer won the race (lib.rs:50-61)."""
+    low = msg.lower()
+    if "nonce too low" in low or "already known" in low:
+        return "SignerConflict"
+    return "Other"
+
+
+class NonceManager:
+    """NoncePolicy::Caching | Stateless (providers.rs; main.rs:287-308).
+
+    The sim's "chain" tracks one confirmed nonce per signer; Caching keeps
+    a local counter (fast, conflicts surface at submit), Stateless re-reads
+    the chain every submission (slow, conflict-free for a single relayer).
+    """
+
+    def __init__(self, policy: str = "caching"):
+        assert policy in ("caching", "stateless")
+        self.policy = policy
+        self.chain_nonces: dict[int, int] = {}   # confirmed on chain
+        self.local_nonces: dict[int, int] = {}   # caching provider's view
+        self._lock = threading.Lock()
+
+    def next_nonce(self, signer: int) -> int:
+        with self._lock:
+            if self.policy == "stateless":
+                return self.chain_nonces.get(signer, 0)
+            n = self.local_nonces.get(
+                signer, self.chain_nonces.get(signer, 0))
+            self.local_nonces[signer] = n + 1
+            return n
+
+    def submit(self, signer: int, nonce: int):
+        """The chain accepts exactly the next nonce; others conflict."""
+        with self._lock:
+            expected = self.chain_nonces.get(signer, 0)
+            if nonce < expected:
+                raise SignerConflict(f"nonce too low: {nonce} < {expected}")
+            if nonce > expected:
+                raise SignerConflict(f"nonce gap: {nonce} > {expected}")
+            self.chain_nonces[signer] = nonce + 1
+
+    def resync(self, signer: int):
+        """After a conflict the caching provider re-reads the chain."""
+        with self._lock:
+            self.local_nonces[signer] = self.chain_nonces.get(signer, 0)
+
+
+# -- monitors (shielder-relayer/src/monitor/*) --
+
+class RpcMonitor:
+    """RPC health with cached validity (monitor/rpc_monitor.rs)."""
+
+    def __init__(self, check_fn, cache_ttl_s: float = 1.0):
+        self.check_fn = check_fn
+        self.cache_ttl_s = cache_ttl_s
+        self._last = (0.0, False)
+
+    def healthy(self) -> bool:
+        now = time.time()
+        ts, ok = self._last
+        if now - ts < self.cache_ttl_s:
+            return ok
+        try:
+            ok = bool(self.check_fn())
+        except Exception:
+            ok = False
+        self._last = (now, ok)
+        return ok
+
+
+class BalanceMonitor:
+    """Samples signer + fee-destination balances into metric gauges
+    (monitor/balance_monitor.rs)."""
+
+    def __init__(self, sim, signer_keys, fee_destination, metrics: Metrics,
+                 interval_s: float = 0.5):
+        self.sim = sim
+        self.signer_keys = signer_keys
+        self.fee_destination = fee_destination
+        self.metrics = metrics
+        self.interval_s = interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def sample(self):
+        self.metrics.gauges["signer_balances"] = {
+            hex(k): self.sim.balances.get(k, 0) for k in self.signer_keys}
+        self.metrics.gauges["fee_destination_balance"] = \
+            self.sim.balances.get(self.fee_destination, 0)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self.sample()
+            self._stop.wait(self.interval_s)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
 
 
 @dataclass
@@ -79,7 +201,8 @@ class Taskmaster:
 
     def __init__(self, sim: ShielderSim, signer_keys: list[int],
                  fee_config: FeeConfig | None = None,
-                 recharge_threshold: int = 0, recharge_amount: int = 0):
+                 recharge_threshold: int = 0, recharge_amount: int = 0,
+                 nonce_policy: str = "caching"):
         self.sim = sim
         self.fee_config = fee_config or FeeConfig()
         self.metrics = Metrics()
@@ -88,6 +211,10 @@ class Taskmaster:
         self.fee_destination = sim.protocol_fee_receiver
         self.recharge_threshold = recharge_threshold
         self.recharge_amount = recharge_amount
+        self.nonces = NonceManager(nonce_policy)
+        self.rpc_monitor = RpcMonitor(lambda: not sim.paused)
+        self.balance_monitor = BalanceMonitor(
+            sim, signer_keys, self.fee_destination, self.metrics).start()
         self._success_streak = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -166,7 +293,21 @@ class Taskmaster:
             raise ShielderError(f"dry run failed: {e}") from e
 
     def _submit(self, signer_key: int, request: dict) -> int:
-        return self.sim.withdraw_native(**request)
+        """Submit with nonce accounting; one resync retry on SignerConflict
+        (the taskmaster's nonce-race recovery, taskmaster.rs + lib.rs:50-61)."""
+        for attempt in (0, 1):
+            nonce = self.nonces.next_nonce(signer_key)
+            try:
+                self.nonces.submit(signer_key, nonce)  # tx acceptance
+            except SignerConflict as e:
+                self.metrics.signer_conflicts += 1
+                if classify_submit_error(str(e)) == "SignerConflict" \
+                        and attempt == 0:
+                    self.nonces.resync(signer_key)
+                    continue
+                raise
+            return self.sim.withdraw_native(**request)
+        raise SignerConflict("unreachable")
 
     def _maybe_recharge(self, signer_key: int):
         """Auto top-up from the fee destination (recharge.rs)."""
