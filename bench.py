@@ -113,14 +113,15 @@ def bench_poseidon() -> float:
 
 def bench_ntt(log_n: int) -> float:
     nn = 1 << log_n
+    fn = NTT.ntt_large if log_n >= 18 else NTT.ntt  # 4-step above HBM knee
 
     @jax.jit
     def run(seed):
         coeffs = _seeded_limbs(seed, (F.N_LIMBS, nn))
-        return jnp.sum(NTT.ntt(coeffs), axis=1)
+        return jnp.sum(fn(coeffs), axis=1)
 
     t = timeit(run, iters=2 if log_n >= 20 else 3)
-    log(f"ntt 2^{log_n}: {t*1e3:.2f} ms")
+    log(f"ntt 2^{log_n}{' (4-step)' if log_n >= 18 else ''}: {t*1e3:.2f} ms")
     return t * 1e3
 
 

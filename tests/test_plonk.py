@@ -195,3 +195,32 @@ def test_lookup_forged_table_value_fails(lookup_keys):
     _, advice = _lookup_fixed_and_advice(values)
     proof = plonk.prove(pk, advice, [3], rng=random.Random(11), engine="host")
     assert plonk.verify(vk, proof, [3])
+
+
+def test_gwc19_prove_verify(keys):
+    """GWC19 multiopen alternative (codegen/pcs/gwc19.rs analog)."""
+    pk, vk = keys
+    rng = random.Random(5)
+    bs = [rng.randrange(1, P) for _ in range(CHAIN)]
+    _, advice, result = _assign(3, bs)
+    proof = plonk.prove(pk, advice, [result], rng=random.Random(7),
+                        engine="host", pcs="gwc19")
+    assert plonk.verify(vk, proof, [result], pcs="gwc19")
+    # wrong pcs mode / tampering fails
+    assert not plonk.verify(vk, proof, [result])
+    bad = bytearray(proof)
+    bad[40] ^= 1
+    assert not plonk.verify(vk, bytes(bad), [result], pcs="gwc19")
+    # GWC proofs are shorter: no zeta-set machinery, one W per rotation
+    bdfg = plonk.prove(pk, advice, [result], rng=random.Random(7),
+                       engine="host")
+    assert len(proof) != len(bdfg)
+
+
+def test_gwc19_lookup_circuit(lookup_keys):
+    pk, vk = lookup_keys
+    values = [1, 5, 15, 0, 7, 7, 7]
+    _, advice = _lookup_fixed_and_advice(values)
+    proof = plonk.prove(pk, advice, [values[0]], rng=random.Random(9),
+                        engine="host", pcs="gwc19")
+    assert plonk.verify(vk, proof, [values[0]], pcs="gwc19")

@@ -115,6 +115,51 @@ def ntt(a: jax.Array, inverse: bool = False) -> jax.Array:
     return F.from_mont(F.FR, out)
 
 
+def ntt_mont_large(spec: F.FieldSpec, a: jax.Array,
+                   inverse: bool = False) -> jax.Array:
+    """Single-chip four-step (Bailey) NTT for transforms too large for the
+    monolithic radix-2 graph (the 2^24 HBM-memory-plan killer).
+
+    n = n1*n2: row NTTs along j2, twiddle scale w_n^{j1*k2}, column NTTs
+    along j1 — peak live memory ~4 matrices instead of the 24-stage chain's
+    temporaries.  a: (18, n) Montgomery; returns (18, n) natural order.
+    Same math as parallel.sharded.sharded_ntt_4step with the all_to_all
+    removed (single device).
+    """
+    n = a.shape[1]
+    k = n.bit_length() - 1
+    n1 = 1 << (k // 2)
+    n2 = n // n1
+    # A[j1, j2] = a[j2*n1 + j1]
+    amat = jnp.moveaxis(a.reshape(F.N_LIMBS, n2, n1), 1, 2)  # (18, n1, n2)
+    b = ntt_mont(spec, jnp.moveaxis(amat, 2, 1), inverse=inverse,
+                 reduce_output=False)  # NTT along j2; (18, n2, n1)
+    b = jnp.moveaxis(b, 1, 2)  # (18, n1, n2)
+    w_mont = jnp.asarray(
+        F.to_limbs(G.FR.to_mont(root_of_unity(n, inverse=inverse))),
+        dtype=jnp.uint32)
+    row_heads = pow_table_mont(spec, w_mont, n1)  # (18, n1): w^{j1}
+    # tw[j1, k2] = (w^{j1})^{k2}, synthesized by doubling (log2(n2) steps)
+    table = F.one_mont(spec, (n1, 1))
+    w_pow = row_heads[:, :, None]
+    size = 1
+    while size < n2:
+        ext = F.mont_mul(spec, table, w_pow)
+        table = jnp.concatenate([table, ext], axis=2)
+        w_pow = F.mont_sqr(spec, w_pow)
+        size *= 2
+    c = F.mont_mul(spec, b, table[:, :, :n2])
+    d = ntt_mont(spec, c, inverse=inverse, reduce_output=False)  # along j1
+    return F.reduce2p(spec, d.reshape(F.N_LIMBS, n))
+
+
+@functools.partial(jax.jit, static_argnames=("inverse",))
+def ntt_large(a: jax.Array, inverse: bool = False) -> jax.Array:
+    """Canonical-domain four-step NTT: (18, n) -> (18, n) natural order."""
+    am = F.to_mont(F.FR, a)
+    return F.from_mont(F.FR, ntt_mont_large(F.FR, am, inverse=inverse))
+
+
 # ---------------------------------------------------------------------------
 # golden model
 # ---------------------------------------------------------------------------

@@ -464,7 +464,8 @@ def permute_lookup_pair(a_usable: list[int], s_usable: list[int]):
 
 
 def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
-          rng: _random.Random | None = None, engine: str | None = None) -> bytes:
+          rng: _random.Random | None = None, engine: str | None = None,
+          pcs: str = "bdfg21") -> bytes:
     """advice_values: num_advice lists of n ints (lagrange, unblinded).
 
     engine="device" (default) runs every polynomial/commitment kernel on
@@ -475,7 +476,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     os-entropy blinding in production.
     """
     rng = rng or _random.Random(42)
-    if (engine or DEFAULT_ENGINE) == "device":
+    if (engine or DEFAULT_ENGINE) == "device" and pcs == "bdfg21":
         from . import engine as eng
 
         return eng.prove_device(pk, advice_values, instances, rng)
@@ -657,13 +658,40 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         tr.write_scalar(dom.poly_eval(ld["ap_poly"], d.rotated_point(x, -1)))
         tr.write_scalar(dom.poly_eval(ld["sp_poly"], x))
 
-    # -- BDFG21 multiopen --
-    zeta = tr.squeeze_challenge()
-    nu = tr.squeeze_challenge_cont()
-
+    # -- multiopen --
     t_fold = [0] * n
     for i in range(num_q - 1, -1, -1):
         t_fold = [(acc * x_n + c) % P for acc, c in zip(t_fold, t_pieces[i])]
+
+    if pcs == "gwc19":
+        # GWC19: one witness commitment per distinct rotation
+        # (codegen/pcs/gwc19.rs; transcript tail Halo2Verifier.sol Gwc19 arm:
+        # squeeze nu -> absorb num_rotations W points -> squeeze mu)
+        nu = tr.squeeze_challenge()
+        gqueries = _open_queries(
+            cs, advice_polys, z_polys, pk.sigma_polys, pk.vk.fixed_polys,
+            t_fold, random_poly,
+            lookup_zs=lookup_z_polys,
+            lookup_pins=[ld["ap_poly"] for ld in lookup_data],
+            lookup_ptabs=[ld["sp_poly"] for ld in lookup_data])
+        for rot, entries in _rotation_point_sets(gqueries):
+            z_i = d.rotated_point(x, rot)
+            comb: list[int] = [0]
+            nu_pow = 1
+            for (poly,) in entries:
+                if len(poly) > len(comb):
+                    comb += [0] * (len(poly) - len(comb))
+                for i2, cc in enumerate(poly):
+                    comb[i2] = (comb[i2] + nu_pow * cc) % P
+                nu_pow = nu_pow * nu % P
+            w_i = dom.poly_divide_linear(comb, z_i)  # (p - p(z))/(X - z)
+            tr.write_point(_commit(pk.srs, w_i))
+        _mu = tr.squeeze_challenge()
+        return bytes(tr.proof)
+
+    # -- BDFG21 multiopen --
+    zeta = tr.squeeze_challenge()
+    nu = tr.squeeze_challenge_cont()
 
     queries = _open_queries(
         cs, advice_polys, z_polys, pk.sigma_polys, pk.vk.fixed_polys,
@@ -906,6 +934,24 @@ def _open_queries(cs, advice_polys, z_polys, sigma_polys, fixed_polys,
     return out
 
 
+def _rotation_point_sets(queries):
+    """GWC19 grouping: one set per DISTINCT rotation, first-appearance
+    order, entries in query order (codegen/pcs.rs rotation_sets for Gwc19).
+
+    queries: [(key, rot, payload...)]; returns [(rot, [payload...])].
+    """
+    sets: list = []
+    for q in queries:
+        rot = q[1]
+        for s in sets:
+            if s[0] == rot:
+                s[1].append(q[2:])
+                break
+        else:
+            sets.append((rot, [q[2:]]))
+    return sets
+
+
 def _rotation_sets(queries):
     """Group by commitment then by equal rot-sets (bdfg21.rs:438-494).
 
@@ -964,14 +1010,16 @@ def _verifier_rotation_sets(queries):
 # verifier (host golden; mirrors the generated Solidity verifier)
 # ---------------------------------------------------------------------------
 
-def verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
+def verify(vk: VerifyingKey, proof: bytes, instances: list[int],
+           pcs: str = "bdfg21") -> bool:
     try:
-        return _verify(vk, proof, instances)
+        return _verify(vk, proof, instances, pcs)
     except AssertionError:
         return False
 
 
-def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
+def _verify(vk: VerifyingKey, proof: bytes, instances: list[int],
+            pcs: str = "bdfg21") -> bool:
     cs = vk.cs
     d = vk.domain
     n = d.n
@@ -1055,13 +1103,15 @@ def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
     for comm in reversed(q_comms[:-1]):
         qc = cg.add(cg.scalar_mul(x_n, qc), comm)
 
-    # BDFG21
-    zeta = tr.squeeze_challenge()
-    nu = tr.squeeze_challenge_cont()
-    w = tr.read_point()
-    mu = tr.squeeze_challenge()
-    w_prime = tr.read_point()
-    assert tr.done(), "trailing proof bytes"
+    if pcs == "gwc19":
+        nu = tr.squeeze_challenge()
+    else:
+        zeta = tr.squeeze_challenge()
+        nu = tr.squeeze_challenge_cont()
+        w = tr.read_point()
+        mu = tr.squeeze_challenge()
+        w_prime = tr.read_point()
+        assert tr.done(), "trailing proof bytes"
 
     vq = []
     for idx, rot in aq:
@@ -1086,6 +1136,39 @@ def _verify(vk: VerifyingKey, proof: bytes, instances: list[int]) -> bool:
         vq.append((("sigma", i), 0, comm, sigma_evals[i]))
     vq.append((("quotient", 0), 0, qc, quotient_eval))
     vq.append((("random", 0), 0, random_comm, random_eval))
+
+    if pcs == "gwc19":
+        # one W per distinct rotation; pairing
+        #   e(sum mu^i W_i, s*G2) = e(sum mu^i (z_i W_i + F_i - E_i*G), G2)
+        # with F_i / E_i the nu-combination of commitments / evals at z_i
+        # (codegen/pcs/gwc19.rs eval/pairing computations)
+        gsets = _rotation_point_sets(vq)
+        ws = [tr.read_point() for _ in gsets]
+        mu = tr.squeeze_challenge()
+        assert tr.done(), "trailing proof bytes"
+        w_sum = None
+        rhs_pt = None
+        e_total = 0
+        mu_pow = 1
+        for (rot, entries), w_i in zip(gsets, ws):
+            z_i = d.rotated_point(x, rot)
+            f_i = None
+            e_i = 0
+            nu_pow = 1
+            for comm, ev in entries:
+                f_i = cg.add(f_i, cg.scalar_mul(nu_pow, comm))
+                e_i = (e_i + nu_pow * ev) % P
+                nu_pow = nu_pow * nu % P
+            w_sum = cg.add(w_sum, cg.scalar_mul(mu_pow, w_i))
+            rhs_pt = cg.add(rhs_pt, cg.scalar_mul(
+                mu_pow, cg.add(cg.scalar_mul(z_i, w_i), f_i)))
+            e_total = (e_total + mu_pow * e_i) % P
+            mu_pow = mu_pow * mu % P
+        rhs_pt = cg.add(rhs_pt, cg.neg(cg.scalar_mul(e_total, cg.GEN)))
+        return PG.pairing_check([
+            (w_sum, vk.s_g2),
+            (cg.neg(rhs_pt), vk.g2),
+        ])
 
     sets = _verifier_rotation_sets(vq)
 
