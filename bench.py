@@ -196,7 +196,23 @@ def main() -> None:
             log(f"ntt 2^24 unavailable: {type(e).__name__}: {e}")
     prove_ms = None
     if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
-        prove_ms = bench_deposit_prove()
+        # run in a budgeted subprocess: the six phase graphs compile for
+        # many minutes on a cold cache, and a driver-side bench run must
+        # never hang past its budget (warm-cache runs take seconds)
+        import subprocess
+
+        budget = int(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "5400"))
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--prove-only"],
+                capture_output=True, timeout=budget, text=True)
+            sys.stderr.write(out.stderr)
+            for line in out.stdout.splitlines():
+                if line.startswith("PROVE_MS "):
+                    prove_ms = float(line.split()[1])
+        except subprocess.TimeoutExpired:
+            log(f"deposit prove bench: exceeded {budget}s budget "
+                f"(cold compile cache); skipped this run")
 
     out = {
         "metric": f"msm_g1_points_per_s_2e{MSM_LOG_N}",
@@ -215,4 +231,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--prove-only" in sys.argv:
+        ms = bench_deposit_prove()
+        if ms is not None:
+            print(f"PROVE_MS {ms}")
+    else:
+        main()

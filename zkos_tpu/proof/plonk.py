@@ -26,7 +26,9 @@ crates/halo2-verifier/src/lib/codegen/*; file:line cites below):
 
 - lookup arguments (halo2 style): permuted input/table commitments after
   theta, z_lookup grand products, the five-row constraint block
-  (evaluator.rs:126-218) and the 5-eval opening set (pcs.rs:74-86).
+  (evaluator.rs:126-218) and the 5-eval opening set (pcs.rs:74-86);
+- the GWC19 multiopen alternative (one W per distinct rotation, nu/mu
+  schedule — codegen/pcs/gwc19.rs) selectable via prove/verify(pcs=).
 
 Two engines emit byte-identical proofs: the host-golden python-int engine
 below (the correctness oracle) and the device engine in proof.engine
