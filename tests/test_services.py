@@ -220,3 +220,26 @@ def test_monitors_and_gauges():
     finally:
         sim.paused = False
         tm.shutdown()
+
+
+def test_relayer_openapi_and_unhealthy():
+    sim = _sim()
+    _seed_account(sim, note=821)
+    tm = rl.Taskmaster(sim, signer_keys=[0xC1])
+    server = rl.make_http_server(tm)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/api-docs/openapi.json")
+        doc = json.loads(conn.getresponse().read())
+        assert doc["info"]["title"] == "zkos-relayer"
+        assert "/relay" in doc["paths"]
+        sim.paused = True
+        time.sleep(1.1)  # rpc monitor cache TTL
+        conn.request("GET", "/health")
+        assert conn.getresponse().status == 503
+    finally:
+        sim.paused = False
+        server.shutdown()
+        tm.shutdown()

@@ -343,7 +343,30 @@ def make_http_server(tm: Taskmaster, port: int = 0) -> ThreadingHTTPServer:
         def do_GET(self):
             tm.metrics.requests_total += 1
             if self.path == "/health":
-                self._json(200, {"status": "healthy"})
+                healthy = tm.rpc_monitor.healthy()
+                self._json(200 if healthy else 503,
+                           {"status": "healthy" if healthy else "unhealthy"})
+            elif self.path == "/api-docs/openapi.json":
+                # OpenAPI self-documentation (relayer main.rs:207-220/utoipa)
+                self._json(200, {
+                    "openapi": "3.0.0",
+                    "info": {"title": "zkos-relayer", "version": "0.1.1"},
+                    "paths": {
+                        "/relay": {"post": {
+                            "summary": "Relay a withdraw with quoted fees",
+                            "responses": {"200": {"description": "relayed"},
+                                          "400": {"description": "invalid"},
+                                          "429": {"description": "queue full"}}}},
+                        "/quote_fees": {"get": {
+                            "summary": "Fee quote (gas*price + pocket money "
+                                       "+ commission), cached with TTL"}},
+                        "/fee_address": {"get": {
+                            "summary": "Relayer fee destination address"}},
+                        "/health": {"get": {
+                            "summary": "RPC-monitor-backed health"}},
+                        "/metrics": {"get": {
+                            "summary": "Prometheus counters and gauges"}},
+                    }})
             elif self.path == "/fee_address":
                 self._json(200, {"fee_address": hex(tm.fee_destination)})
             elif self.path == "/quote_fees":
