@@ -121,6 +121,8 @@ def test_tools_stress_relayer():
     try:
         res = tools.stress_relayer(tm, reqs, concurrency=4)
         assert res.successes == 10 and res.failures == 0
-        assert res.p50 < 5.0
+        rep = res.report()
+        assert rep["requests"] == 10 and rep["throughput_rps"] > 0
+        assert rep["p50_ms"] <= rep["p90_ms"] <= rep["p99_ms"]
     finally:
         tm.shutdown()
