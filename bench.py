@@ -201,7 +201,7 @@ def main() -> None:
         # never hang past its budget (warm-cache runs take seconds)
         import subprocess
 
-        budget = int(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "5400"))
+        budget = int(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400"))
         try:
             out = subprocess.run(
                 [sys.executable, __file__, "--prove-only"],
