@@ -459,13 +459,18 @@ def commit_table(table: jax.Array, coeff_mont: jax.Array) -> jax.Array:
     return jax.vmap(lambda s: M.msm_window_sums(table, s, c=c))(sc)
 
 
+@jax.jit
+def _l2c_jit(arr):
+    coeff = NTT.ntt_mont(FR, F.to_mont(FR, arr), inverse=True)
+    return F.from_mont(FR, coeff)
+
+
 def lagrange_to_coeff_many(cols: list[list[int]], n: int) -> list[list[int]]:
-    """Batched host-int lagrange->coeff via the device iNTT."""
+    """Batched host-int lagrange->coeff via the device iNTT (one jit call —
+    eager per-op dispatch through the device tunnel is ~50 ms per op)."""
     if not cols:
         return []
-    arr = F.to_mont(FR, ints_to_device([list(c) for c in cols]))
-    coeff = NTT.ntt_mont(FR, arr, inverse=True)
-    out = np.asarray(F.from_mont(FR, coeff))  # (18, n, C)
+    out = np.asarray(_l2c_jit(ints_to_device([list(c) for c in cols])))
     return [device_to_ints(out[:, :, i]) for i in range(out.shape[-1])]
 
 
@@ -490,46 +495,58 @@ class DeviceProverKey:
         # SRS G1 powers, affine canonical-Montgomery limbs
         self.srs_table = jnp.asarray(
             M.points_to_affine_limbs(pk.srs.g1[:n]))
-        # static vectors
-        self.omega_pows = pow_vector(d.omega, n)  # (18, n) mont
-        self.coset_pows = pow_vector(d.coset, n)
-        coset_inv = pow(d.coset, P - 2, P)
-        self.coset_inv_pows = pow_vector(coset_inv, ext_n)
         j = ext_n // n
         coset_n = pow(d.coset, n, P)
         w_ext_n = pow(d.extended_omega, n, P)
         zh_inv_vals = [pow((coset_n * pow(w_ext_n, i, P) - 1) % P, P - 2, P)
                        for i in range(j)]
-        self.zh_inv = jnp.tile(
-            jnp.asarray(F.to_limbs([G.FR.to_mont(v) for v in zh_inv_vals]),
-                        dtype=jnp.uint32), (1, n))  # (18, ext_n) mont
-        # x_vec on the extended coset: coset * ext_omega^i
-        ext_pows = pow_vector(d.extended_omega, ext_n)
-        self.x_vec = F.mont_mul(FR, ext_pows,
-                                _mont_scalar(d.coset)[:, None])
-
-        def mont_cols(cols):  # list[list[int]] -> (18, n, C) Montgomery
-            if not cols:
-                return jnp.zeros((F.N_LIMBS, n, 0), dtype=jnp.uint32)
-            return F.to_mont(FR, ints_to_device(cols))
-
-        self.fixed_vals = mont_cols(pk.fixed_values)
-        self.sigma_vals = mont_cols(pk.sigma_values)
-        self.fixed_coeff = self._intt(self.fixed_vals)
-        self.sigma_coeff = self._intt(self.sigma_vals)
-        self.fixed_ext = self._to_ext(self.fixed_coeff)
-        self.sigma_ext = self._to_ext(self.sigma_coeff)
         lag_specials = [[1] + [0] * (n - 1),
                         [1 if r == self.u else 0 for r in range(n)],
                         [1 if r > self.u else 0 for r in range(n)]]
-        self.l_ext = self._to_ext(self._intt(mont_cols(lag_specials)))
-        # permutation tag vectors: delta^(col_offset+j) * omega^r
-        tags = []
-        for jcol in range(len(cs.permutation_columns)):
-            dp = _mont_scalar(pow(_DELTA, jcol, P))
-            tags.append(F.mont_mul(FR, self.omega_pows, dp[:, None]))
-        self.tag_vecs = (jnp.stack(tags, axis=-1) if tags
-                         else jnp.zeros((F.N_LIMBS, n, 0), jnp.uint32))
+        delta_pows = [pow(_DELTA, jcol, P)
+                      for jcol in range(len(cs.permutation_columns))]
+
+        # ALL table construction in ONE jitted graph: eager per-op dispatch
+        # through the device tunnel costs ~50 ms per op, and this pile is
+        # hundreds of mont ops
+        def build_tables(fixed_canon, sigma_canon, lag_canon, zh_canon,
+                         delta_canon):
+            omega_pows = pow_vector(d.omega, n)
+            coset_pows = pow_vector(d.coset, n)
+            coset_inv_pows = pow_vector(pow(d.coset, P - 2, P), ext_n)
+            zh_inv = jnp.tile(F.to_mont(FR, zh_canon), (1, n))
+            ext_pows = pow_vector(d.extended_omega, ext_n)
+            x_vec = F.mont_mul(FR, ext_pows, _mont_scalar(d.coset)[:, None])
+            fixed_vals = F.to_mont(FR, fixed_canon)
+            sigma_vals = F.to_mont(FR, sigma_canon)
+            fixed_coeff = self._intt(fixed_vals)
+            sigma_coeff = self._intt(sigma_vals)
+            fixed_ext = self._to_ext_tab(fixed_coeff, coset_pows,
+                                         coset_inv_pows)
+            sigma_ext = self._to_ext_tab(sigma_coeff, coset_pows,
+                                         coset_inv_pows)
+            l_ext = self._to_ext_tab(self._intt(F.to_mont(FR, lag_canon)),
+                                     coset_pows, coset_inv_pows)
+            dm = F.to_mont(FR, delta_canon)  # (18, S)
+            tag_vecs = F.mont_mul(FR, omega_pows[:, :, None], dm[:, None, :])
+            return (omega_pows, coset_pows, coset_inv_pows, zh_inv, x_vec,
+                    fixed_vals, sigma_vals, fixed_coeff, sigma_coeff,
+                    fixed_ext, sigma_ext, l_ext, tag_vecs)
+
+        def canon_cols(cols, width=None):
+            if not cols:
+                return jnp.zeros((F.N_LIMBS, width or n, 0), jnp.uint32)
+            return ints_to_device([list(c) for c in cols])
+
+        (self.omega_pows, self.coset_pows, self.coset_inv_pows, self.zh_inv,
+         self.x_vec, self.fixed_vals, self.sigma_vals, self.fixed_coeff,
+         self.sigma_coeff, self.fixed_ext, self.sigma_ext, self.l_ext,
+         self.tag_vecs) = jax.jit(build_tables)(
+            canon_cols(pk.fixed_values), canon_cols(pk.sigma_values),
+            canon_cols(lag_specials),
+            ints_to_device(zh_inv_vals),
+            canon_cols([[v] for v in delta_pows], width=1)[:, 0, :]
+            if delta_pows else jnp.zeros((F.N_LIMBS, 0), jnp.uint32))
         self._jit_cache: dict = {}
 
     # -- basis conversion helpers (traced) --
@@ -541,9 +558,12 @@ class DeviceProverKey:
         return NTT.ntt_mont(FR, coeff, inverse=False)
 
     def _to_ext(self, coeff):  # (18, n, C) mont coeff -> (18, ext_n, C)
+        return self._to_ext_tab(coeff, self.coset_pows, self.coset_inv_pows)
+
+    def _to_ext_tab(self, coeff, coset_pows, _coset_inv_pows):
         tail = coeff.ndim - 2
         scaled = F.mont_mul(FR, coeff,
-                            self.coset_pows.reshape(
+                            coset_pows.reshape(
                                 (F.N_LIMBS, self.n) + (1,) * tail))
         pad = [(0, 0), (0, self.ext_n - self.n)] + [(0, 0)] * tail
         return NTT.ntt_mont(FR, jnp.pad(scaled, pad))
