@@ -1,15 +1,16 @@
-"""The flagship proving-compute pipeline.
+"""The flagship proving-compute step (compile-check entry).
 
-One "step" of the Shielder proving workload, shaped like halo2's
-``create_proof`` hot loop (SURVEY.md §3.1): witness hashing (Poseidon2 Merkle
-levels), polynomial work (NTT/iNTT over Fr), and commitment work (Pippenger
-MSM over G1).  The single-chip ``prove_step`` is the driver's compile-check
-entry; the sharded variant in ``zkos_tpu.parallel`` distributes the same step
-over a mesh.
+One fused "step" of the Shielder proving workload, shaped like halo2's
+``create_proof`` hot loop (SURVEY.md §3.1): witness hashing (Poseidon2
+Merkle levels), polynomial work (NTT/iNTT over Fr), and commitment work
+(Pippenger MSM over G1).  ``prove_step`` is the driver's single-chip
+compile-check entry; the sharded variants in ``zkos_tpu.parallel``
+distribute the same kernels over a mesh.
 
-This module will grow into the full PLONKish ``generate_proof`` driver
-(SURVEY.md §7 stage 7); the step here is the compute skeleton those phases
-run on.
+The full PLONKish ``generate_proof`` driver lives in
+``zkos_tpu.proof.engine.prove_device`` (the production device prover,
+default engine of ``proof.plonk.prove``); this module stays as the
+minimal jittable surface the harness compile-checks.
 """
 
 from __future__ import annotations
