@@ -243,3 +243,38 @@ def test_relayer_openapi_and_unhealthy():
         sim.paused = False
         server.shutdown()
         tm.shutdown()
+
+
+def test_shielder_user_call_types():
+    """Call / DryRun / EstimateGas / Submit strategies
+    (shielder-contract call_type.rs:11-82 analog)."""
+    from zkos_tpu.srv.contract_client import ShielderUser
+
+    sim = _sim()
+    user = ShielderUser(sim=sim, signer=0xD7)
+    na_kwargs = dict(
+        expected_version=VERSION, caller=0xD7, amount=9_000, new_note=611,
+        prenullifier=hash_ints([611]), sym_c1=(1, 1), sym_c2=(2, 2),
+        mac_salt=1, mac_commitment=2, proof=b"ok")
+    # EstimateGas / DryRun leave no state
+    gas = user.estimate_gas("new_account_native", **na_kwargs)
+    assert gas > 642_011
+    assert user.dry_run("new_account_native", **na_kwargs) == 0
+    assert len(sim.tree) == 0
+    # Submit mutates and consumes the nonce
+    idx = user.submit("new_account_native", **na_kwargs)
+    assert idx == 0 and len(sim.tree) == 1
+    assert user.nonces.chain_nonces[0xD7] == 1
+    # Call views
+    assert user.nullifier_block(hash_ints([611])) > 0
+    assert user.current_merkle_root() == user.get_merkle_path(0)[-1]
+    # nonce race -> SignerConflict -> retry resyncs and lands
+    user.nonces.local_nonces[0xD7] = 5  # simulate a stale cached provider
+    wd = dict(expected_version=VERSION, amount=500, withdrawal_address=0xBB,
+              merkle_root=user.current_merkle_root(),
+              old_nullifier_hash=hash_ints([9]), new_note=612, proof=b"ok",
+              relayer_address=0xCC, relayer_fee=10, mac_salt=1,
+              mac_commitment=2)
+    with pytest.raises(rl.SignerConflict):
+        user.submit("withdraw_native", **wd)
+    assert user.submit_with_retry("withdraw_native", **wd) == 1
