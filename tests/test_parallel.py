@@ -11,6 +11,7 @@ from zkos_tpu.ops import curve as C
 from zkos_tpu.ops import curve_golden as cg
 from zkos_tpu.ops import field as F
 from zkos_tpu.ops import field_golden as G
+from zkos_tpu.ops import msm as M
 from zkos_tpu.ops import ntt as NTT
 from zkos_tpu.ops import poseidon2 as P2
 from zkos_tpu.parallel import mesh as mesh_mod
@@ -61,3 +62,19 @@ def test_four_step_ntt_matches_plain(mesh, inverse):
     exp_m = NTT.ntt_mont(F.FR, am, inverse=inverse)
     exp = F.from_limbs(np.asarray(F.from_mont(F.FR, exp_m)))
     assert got == exp
+
+
+def test_sharded_msm_v2_window_sums(rng):
+    """Sorted prefix-scan MSM sharded over the mesh: per-window partials
+    all_gathered + folded equal the golden full MSM."""
+    from zkos_tpu.ops import field_golden as G
+
+    mesh = mesh_mod.data_mesh(8)
+    pts = cg.random_points(rng, 16)
+    sc = [int.from_bytes(rng.bytes(32), "little") % G.FR_MODULUS
+          for _ in range(16)]
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.asarray(F.to_limbs(sc), dtype=jnp.uint32)
+    ws = sharded.sharded_msm_window_sums(mesh, parr, sarr, c=8, steps=2)
+    got = M.fold_windows_host(np.asarray(ws), 8)
+    assert got == cg.msm(sc, pts)

@@ -116,6 +116,33 @@ def sharded_msm(mesh, points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
     return jax.jit(fn)(points, scalar_limbs)
 
 
+def sharded_msm_window_sums(mesh, points_xy: jax.Array,
+                            scalar_limbs: jax.Array, c: int = 13,
+                            steps: int | None = None) -> jax.Array:
+    """The sorted prefix-scan MSM (ops.msm v2) with points sharded.
+
+    points_xy: (2, 18, N) canonical Montgomery affine; scalar_limbs (18, N).
+    Each device runs the full sort/prefix/suffix pipeline on its local
+    slice of the points axis, producing per-window sums; the (3, 18, W)
+    partials are all_gathered and tree-folded — communication is n_dev
+    window vectors regardless of N.  Finish with ops.msm.fold_windows_host.
+    """
+    n_dev = mesh.shape[DATA_AXIS]
+    assert points_xy.shape[-1] % n_dev == 0
+    p_spec = P(None, None, DATA_AXIS)
+    s_spec = P(None, DATA_AXIS)
+    points_xy = jax.device_put(points_xy, NamedSharding(mesh, p_spec))
+    scalar_limbs = jax.device_put(scalar_limbs, NamedSharding(mesh, s_spec))
+
+    def local(pts, sc):
+        ws = M.msm_window_sums(pts, sc, c=c, steps=steps)  # (3, 18, W)
+        allw = jax.lax.all_gather(ws, DATA_AXIS, axis=3)  # (3, 18, W, nd)
+        return _fold_points(allw)  # (3, 18, W)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(p_spec, s_spec), out_specs=P())
+    return jax.jit(fn)(points_xy, scalar_limbs)
+
+
 # ---------------------------------------------------------------------------
 # four-step (Bailey) sharded NTT
 # ---------------------------------------------------------------------------
