@@ -1,0 +1,159 @@
+"""In-process contract-execution harness: the evm-utils analog.
+
+The reference tests everything against an in-process EVM (revm):
+`EvmRunner::aleph_evm` boots a chain with the ArbSys precompile mocked at
+address 0x64, `create` deploys bytecode under a 96 kB size limit, and
+`call`/`dry_run` execute with gas accounting and revert propagation
+(`crates/evm-utils/src/evm_runner.rs:43-149`).  Deployment fixtures add a
+REVERTING_ADDRESS whose code is `PUSH1 0 DUP1 REVERT`
+(`crates/integration-tests/src/shielder/deploy.rs:62-65`).
+
+There is no EVM here; the deployed artifacts are Python objects — the
+contract simulator (protocol.contract.ShielderSim), the generated verifier
+modules (proof.codegen), Poseidon2 — so this runner provides the same
+harness surface over them: addressed deployment with a size gate,
+metered call / estimate-gas dry-run on a snapshot, revert propagation, the
+ArbSys block-number mock, and the always-reverting sentinel used by
+transfer-failure tests.
+"""
+
+from __future__ import annotations
+
+import copy
+import inspect
+from dataclasses import dataclass, field as dc_field
+
+from ..protocol import contract as contract_mod
+
+ARBSYS_ADDRESS = 0x64
+#: transfer-failure sentinel (deploy.rs:62-65: code = PUSH1 0 DUP1 REVERT)
+REVERTING_ADDRESS = 0xBAD
+
+
+class Revert(Exception):
+    """EVM revert with a reason payload (evm_runner.rs Error::Revert)."""
+
+
+class DeployError(Exception):
+    pass
+
+
+MAX_CODE_SIZE = 96 * 1024  # evm_runner.rs:100 (Aleph raises the EIP-170 24k)
+
+
+@dataclass
+class CallResult:
+    output: object
+    gas_used: int
+
+
+@dataclass
+class ArbSys:
+    """The Arbitrum system precompile mock: block numbers come from here."""
+
+    runner: "EvmRunner"
+
+    def arbBlockNumber(self) -> int:  # noqa: N802 — solidity casing
+        return self.runner.block_number
+
+    def measure_gas(self, *_a, **_k) -> int:
+        return 0
+
+
+@dataclass
+class EvmRunner:
+    """Deploy/call/dry_run over addressed Python contract objects."""
+
+    contracts: dict = dc_field(default_factory=dict)
+    block_number: int = 1
+    next_address: int = 0x1000
+
+    @classmethod
+    def aleph_evm(cls) -> "EvmRunner":
+        """Boot with the ArbSys mock at 0x64 (evm_runner.rs:56-67)."""
+        r = cls()
+        r.contracts[ARBSYS_ADDRESS] = ArbSys(r)
+        return r
+
+    def create(self, artifact, address: int | None = None) -> int:
+        """Deploy ``artifact`` (any callable-bearing object) at an address.
+
+        Enforces the 96 kB contract-size limit on the artifact's source —
+        the analog of evm_runner.rs:95-104's bytecode-length gate (the
+        generated verifiers are the only artifacts near the limit).
+        """
+        try:
+            size = len(inspect.getsource(type(artifact)).encode())
+        except (OSError, TypeError):
+            size = 0
+        if inspect.ismodule(artifact):
+            try:
+                size = len(inspect.getsource(artifact).encode())
+            except OSError:
+                size = 0
+        if size > MAX_CODE_SIZE:
+            raise DeployError(f"contract size {size} exceeds {MAX_CODE_SIZE}")
+        if address is None:
+            address = self.next_address
+            self.next_address += 1
+        if address in self.contracts:
+            raise DeployError(f"address {address:#x} already occupied")
+        self.contracts[address] = artifact
+        return address
+
+    def _execute(self, target, address: int, method: str, args, kwargs,
+                 caller: int | None, value: int):
+        if address == REVERTING_ADDRESS:
+            raise Revert("REVERTING_ADDRESS")
+        fn = getattr(target, method, None)
+        if fn is None:
+            raise Revert(f"unknown method {method}")
+        # keep the sim's clock in step with ours (ShielderSim meters gas
+        # and registers nullifiers against its own block_number)
+        if isinstance(target, contract_mod.ShielderSim):
+            target.block_number = self.block_number
+            if caller is not None and "caller" in inspect.signature(fn).parameters:
+                kwargs.setdefault("caller", caller)
+            if value and "value" in inspect.signature(fn).parameters:
+                kwargs.setdefault("value", value)
+        out = fn(*args, **kwargs)
+        gas = contract_mod.GAS_BASE_TX
+        if isinstance(target, contract_mod.ShielderSim):
+            gas += target.last_gas
+        return out, gas
+
+    def call(self, address: int, method: str, *args, caller: int | None = None,
+             value: int = 0, **kwargs) -> CallResult:
+        """State-mutating call; advances the block (evm_runner.rs:106-127)."""
+        target = self.contracts.get(address)
+        if target is None:
+            raise Revert(f"no code at {address:#x}")
+        try:
+            out, gas = self._execute(target, address, method, args, kwargs,
+                                     caller, value)
+        except Revert:
+            raise
+        except (contract_mod.ShielderError, ValueError, AssertionError) as e:
+            raise Revert(str(e) or type(e).__name__) from e
+        self.block_number += 1
+        return CallResult(output=out, gas_used=gas)
+
+    def dry_run(self, address: int, method: str, *args,
+                caller: int | None = None, value: int = 0,
+                **kwargs) -> CallResult:
+        """EstimateGas semantics: execute on a snapshot, discard the state
+        (evm_runner.rs:129-149; shielder-contract CallType::DryRun)."""
+        target = self.contracts.get(address)
+        if target is None:
+            raise Revert(f"no code at {address:#x}")
+        snap = copy.deepcopy(target)
+        if isinstance(snap, ArbSys):
+            snap.runner = self
+        try:
+            out, gas = self._execute(snap, address, method, args, kwargs,
+                                     caller, value)
+        except Revert:
+            raise
+        except (contract_mod.ShielderError, ValueError, AssertionError) as e:
+            raise Revert(str(e) or type(e).__name__) from e
+        return CallResult(output=out, gas_used=gas)
