@@ -53,10 +53,10 @@ def test_call_mutates_and_meters(runner_and_addr):
 
 def test_dry_run_discards_state(runner_and_addr):
     r, addr = runner_and_addr
+    blk = r.block_number
     res = r.dry_run(addr, "new_account_native", **_na_kwargs())
     assert res.gas_used > 0
     assert r.contracts[addr].balance == 0  # snapshot discarded
-    blk = r.block_number
     assert r.block_number == blk  # dry runs do not advance the chain
 
 
@@ -134,19 +134,42 @@ def test_gas_monotone_in_circuit_size():
 
 
 def test_gas_layout_matches_proof_bytes():
-    """proof_layout's byte math must equal the real serialized proof."""
+    """proof_layout's byte math must equal the real serialized proof.
+
+    The witness must be non-degenerate: with an all-zero selector the
+    quotient's top piece is identically zero and proving fails with
+    "points at infinity", exactly like halo2 (KZG commitments are
+    unblinded; see proof/transcript.py common_point).
+    """
     vk = _keygen(with_lookup=True)
     commits, evals, _ = gas.proof_layout(vk.cs)
     import random
 
     srs = srs_mod.synthetic_srs(k=K)
-    q = [0] * N
+    q = [1 if r < 16 else 0 for r in range(N)]
     tv = [i if i < 16 else 0 for i in range(N)]
     cs = vk.cs
     pk, vk2 = plonk.keygen(cs, srs, [q, tv], engine="host")
-    adv = [[0] * N, [0] * N]
+    # gate q*(b-a)=0, lookup q*a in [0..15], copy a[0]==instance[0]==0
+    a = [r if r < 16 else 0 for r in range(N)]
+    adv = [list(a), list(a)]
     proof = plonk.prove(pk, adv, [0], rng=random.Random(1), engine="host")
     assert len(proof) == 64 * commits + 32 * evals
+    assert plonk.verify(vk2, proof, [0])
+
+
+def test_degenerate_circuit_rejects_identity_commitment():
+    """All-zero fixed/advice => zero quotient piece => clean ValueError
+    (halo2's "cannot write points at infinity"), not a crash."""
+    import random
+
+    vk = _keygen(with_lookup=True)
+    srs = srs_mod.synthetic_srs(k=K)
+    tv = [i if i < 16 else 0 for i in range(N)]
+    pk, _ = plonk.keygen(vk.cs, srs, [[0] * N, tv], engine="host")
+    with pytest.raises(ValueError, match="points at infinity"):
+        plonk.prove(pk, [[0] * N, [0] * N], [0],
+                    rng=random.Random(1), engine="host")
 
 
 def test_gwc19_layout_differs():
@@ -155,3 +178,20 @@ def test_gwc19_layout_differs():
     g_commits, g_evals, _ = gas.proof_layout(vk.cs, pcs="gwc19")
     assert b_evals == g_evals
     assert g_commits != b_commits  # one W per rotation vs fixed {W, W'}
+
+
+def test_gwc19_layout_matches_proof_bytes_with_lookup():
+    """gwc19 + lookup: the permuted-input opening at rotation -1 adds a
+    W commitment (plonk.py gwc19 arm); layout math must count it."""
+    import random
+
+    vk = _keygen(with_lookup=True)
+    commits, evals, _ = gas.proof_layout(vk.cs, pcs="gwc19")
+    srs = srs_mod.synthetic_srs(k=K)
+    q = [1 if r < 16 else 0 for r in range(N)]
+    tv = [i if i < 16 else 0 for i in range(N)]
+    pk, vk2 = plonk.keygen(vk.cs, srs, [q, tv], engine="host")
+    a = [r if r < 16 else 0 for r in range(N)]
+    proof = plonk.prove(pk, [list(a), list(a)], [0],
+                        rng=random.Random(1), engine="host", pcs="gwc19")
+    assert len(proof) == 64 * commits + 32 * evals

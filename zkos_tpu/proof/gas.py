@@ -106,6 +106,9 @@ def proof_layout(cs: plonk.ConstraintSystem, pcs: str = "bdfg21"):
         rotations |= {0, 1}           # z / z_next
         if nz > 1:
             rotations |= {cs.rotation_last()}
+        if nlk:
+            rotations |= {-1}         # lookup permuted-input @ x*omega^-1
+                                      # (plonk.py gwc19 arm, a'_prev opening)
         commits += len(rotations)
     evals = (len(cs.advice_queries()) + len(cs.fixed_queries())
              + len(cs.permutation_columns)   # common sigma polys at x

@@ -51,8 +51,21 @@ class Transcript:
         self.proof += _be(x)
 
     def common_point(self, pt) -> None:
-        """Absorb an affine G1 point (identity forbidden on the EVM side)."""
-        assert pt is not None, "cannot absorb the identity point"
+        """Absorb an affine G1 point.
+
+        The identity is rejected, matching the reference stack end to end:
+        halo2's transcript errors with "cannot write points at infinity"
+        at prove time and the generated verifier rejects (0,0) on its
+        on-curve check (`templates/Halo2Verifier.sol:90-102`).  KZG
+        commitments are unblinded (ParamsKZG::commit ignores the Blind),
+        so a degenerate circuit whose quotient piece is identically zero
+        cannot be proven for the EVM — by the reference or by us.
+        """
+        if pt is None:
+            raise ValueError(
+                "cannot write points at infinity to the transcript "
+                "(degenerate circuit: an all-zero polynomial was committed; "
+                "halo2 create_proof fails identically)")
         x, y = pt
         assert 0 <= x < Q and 0 <= y < Q
         assert (y * y - x * x * x - 3) % Q == 0, "point not on curve"

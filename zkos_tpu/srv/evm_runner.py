@@ -38,7 +38,7 @@ class DeployError(Exception):
     pass
 
 
-MAX_CODE_SIZE = 96 * 1024  # evm_runner.rs:100 (Aleph raises the EIP-170 24k)
+MAX_CODE_SIZE = 0x17700  # = 96 000, evm_runner.rs:100 limit_contract_code_size
 
 
 @dataclass
@@ -117,9 +117,11 @@ class EvmRunner:
             if value and "value" in inspect.signature(fn).parameters:
                 kwargs.setdefault("value", value)
         out = fn(*args, **kwargs)
-        gas = contract_mod.GAS_BASE_TX
         if isinstance(target, contract_mod.ShielderSim):
-            gas += target.last_gas
+            # last_gas already includes the 21k intrinsic (contract.py _meter)
+            gas = target.last_gas
+        else:
+            gas = contract_mod.GAS_BASE_TX
         return out, gas
 
     def call(self, address: int, method: str, *args, caller: int | None = None,
