@@ -278,3 +278,144 @@ def test_shielder_user_call_types():
     with pytest.raises(rl.SignerConflict):
         user.submit("withdraw_native", **wd)
     assert user.submit_with_retry("withdraw_native", **wd) == 1
+
+
+# --------------------------------------------------------------------------
+# price feed + cross-token fees (fee.rs:76-118, src/price_feed/)
+# --------------------------------------------------------------------------
+
+from decimal import Decimal  # noqa: E402
+
+from zkos_tpu.srv import price_feed as pf  # noqa: E402
+
+USDC = pf.erc20_kind(0x1234)
+
+
+def _prices(clock, native=Decimal("2000"), usdc=Decimal("1"),
+            validity=600.0):
+    """Native (18 dec) fetched; USDC (6 dec) fetched; both timed."""
+    p = pf.Prices(
+        [pf.TokenInfo(pf.NATIVE, fetcher=lambda: (native, clock())),
+         pf.TokenInfo(USDC, decimals=6, fetcher=lambda: (usdc, clock()))],
+        validity_s=validity, clock=clock)
+    p.update()
+    return p
+
+
+def test_compute_fee_cross_token_scaling():
+    """1 native = $2000 (18 dec), 1 USDC = $1 (6 dec): 1 wei of relay cost
+    = 2000/1e18 / (1/1e6) = 2e-9 USDC units (fee.rs:109-118)."""
+    native_unit = Decimal("2000").scaleb(-18)
+    usdc_unit = Decimal("1").scaleb(-6)
+    d = pf.compute_fee(gas_price=10, required_gas=1_000_000,
+                       pocket_money=5_000_000, commission_percent=10,
+                       native_token_unit_price=native_unit,
+                       fee_token_unit_price=usdc_unit)
+    assert d.gas_cost_native == 10_000_000
+    assert d.relayer_cost_native == 15_000_000
+    assert d.commission_native == 1_500_000
+    assert d.total_cost_native == 16_500_000
+    # 16_500_000 wei * 2e-9 = 0.033 USDC units -> floors to 0 at this scale;
+    # scale up to a realistic gas price to see nonzero token amounts
+    d2 = pf.compute_fee(gas_price=10**9, required_gas=1_000_000,
+                        pocket_money=0, commission_percent=0,
+                        native_token_unit_price=native_unit,
+                        fee_token_unit_price=usdc_unit)
+    # 1e15 wei = 0.001 native = $2 = 2_000_000 USDC units
+    assert d2.total_cost_fee_token == 2_000_000
+
+
+def test_scale_u256_matches_reference_rounding():
+    # fee.rs scale_u256: round ratio to 20 sig digits, a*mantissa//10^scale
+    assert pf.scale_u256(10**18, Decimal("0.5")) == 5 * 10**17
+    assert pf.scale_u256(3, Decimal("1") / Decimal("3")) == 0
+    # ratio rounds to 20 significant digits first, so the 21st digit of
+    # the product is lost (reference round_sf(RELATIVE_PRICE_DIGITS))
+    assert pf.scale_u256(10**21, Decimal("1") / Decimal("3")) \
+        == 333333333333333333330
+    assert pf.scale_u256(7, Decimal(4)) == 28
+
+
+def test_price_feed_staleness_and_ages():
+    now = [1000.0]
+    clock = lambda: now[0]  # noqa: E731
+    prices = _prices(clock, validity=60.0)
+    assert prices.price(pf.NATIVE) is not None
+    assert prices.price_ages()[pf.NATIVE] == 0.0
+    now[0] += 59.9
+    assert prices.price(pf.NATIVE) is not None
+    now[0] += 0.2  # past validity -> stale (price.rs validate)
+    assert prices.price(pf.NATIVE) is None
+    assert prices.price(USDC) is None
+    # ages keep reporting (feeds price_age metric even when expired)
+    assert prices.price_ages()[pf.NATIVE] == pytest.approx(60.1)
+    prices.update()  # refresh -> valid again
+    assert prices.price(pf.NATIVE) is not None
+
+
+def test_quote_rejects_stale_price_and_erc20_quote_scales():
+    now = [0.0]
+    clock = lambda: now[0]  # noqa: E731
+    prices = _prices(clock, native=Decimal("2000"), usdc=Decimal("1"))
+    fc = rl.FeeConfig(relay_gas=1_000_000, gas_price=10**9,
+                      commission_bps=250)  # 2.5%
+    q = fc.quote(prices, fee_token=USDC)
+    # relay cost 1e15 wei; commission 2.5e13; total 1.025e15 native
+    assert q["total_fee"] == 1_025_000_000_000_000
+    assert int(q["fee_details"]["total_cost_fee_token"]) == 2_050_000
+    assert q["price_details"]["fee_token_price"] == "1"
+    now[0] += 1e9  # all prices stale
+    with pytest.raises(rl.StalePrice):
+        fc.quote(prices, fee_token=USDC)
+
+
+def test_taskmaster_price_metrics_and_post_quote():
+    sim = _sim()
+    now = [0.0]
+    clock = lambda: now[0]  # noqa: E731
+    prices = _prices(clock)
+    tm = rl.Taskmaster(sim, signer_keys=[0xC1], prices=prices)
+    server = rl.make_http_server(tm)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/quote_fees",
+                     body=json.dumps({"fee_token": USDC,
+                                      "pocket_money": 0}))
+        q = json.loads(conn.getresponse().read())
+        assert "fee_details" in q and "price_details" in q
+        conn.request("GET", "/metrics")
+        metrics = conn.getresponse().read().decode()
+        assert 'zkos_relayer_price_age{id="native"} 0.0' in metrics
+        assert 'zkos_relayer_expired_price{id="native"} 0' in metrics
+        # expire the feed: quote via HTTP -> 500, expired gauge flips
+        now[0] += 1e9
+        conn.request("GET", "/quote_fees")
+        assert conn.getresponse().status == 500
+        conn.request("POST", "/quote_fees",
+                     body=json.dumps({"fee_token": USDC}))
+        assert conn.getresponse().status == 500
+    finally:
+        server.shutdown()
+        tm.shutdown()
+
+
+def test_price_feed_worker_refreshes():
+    calls = []
+
+    def fetcher():
+        calls.append(1)
+        return Decimal("3"), time.time()
+
+    prices = pf.Prices([pf.TokenInfo(pf.NATIVE, fetcher=fetcher)],
+                       validity_s=600, refresh_interval_s=0.05)
+    prices.start()
+    try:
+        deadline = time.time() + 5
+        while len(calls) < 2 and time.time() < deadline:
+            time.sleep(0.02)
+        assert len(calls) >= 2  # the worker loops update->sleep
+        assert prices.price(pf.NATIVE).token_price == Decimal("3")
+    finally:
+        prices.stop()

@@ -21,7 +21,10 @@ import time
 from dataclasses import dataclass, field as dc_field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from decimal import Decimal
+
 from ..protocol.contract import ShielderError, ShielderSim
+from . import price_feed as pf
 
 RELAY_QUEUE_CAPACITY = 1024  # relay/mod.rs:28
 OPTIMISTIC_DRY_RUN_THRESHOLD = 32  # relay/mod.rs:29
@@ -30,22 +33,58 @@ QUOTE_TTL_S = 30.0
 
 @dataclass
 class FeeConfig:
-    """fee.rs:76-118 — total = gas * price + pocket_money, plus commission."""
+    """fee.rs:76-118 — total = gas * price + pocket_money, plus commission,
+    all scalable into a non-native fee token via the price feed."""
 
     relay_gas: int = 2_000_000
     gas_price: int = 1
     pocket_money: int = 0
     commission_bps: int = 0
 
-    def quote(self) -> dict:
-        base = self.relay_gas * self.gas_price + self.pocket_money
-        commission = base * self.commission_bps // 10_000
+    def quote(self, prices: "pf.Prices | None" = None,
+              fee_token: str = pf.NATIVE,
+              pocket_money: int | None = None) -> dict:
+        """QuoteFeeResponse shape (quote.rs:38-89): fee_details scaled
+        into the fee token + price_details; stale/missing prices reject
+        the quote (quote.rs:104-110 "price not available")."""
+        if pocket_money is None:
+            pocket_money = self.pocket_money
+        if prices is None:
+            prices = pf.Prices([pf.TokenInfo(pf.NATIVE,
+                                             static_price=Decimal(1))])
+        native_price = prices.price(pf.NATIVE)
+        if native_price is None:
+            raise StalePrice("Native token price not available")
+        if fee_token == pf.NATIVE:
+            fee_price = native_price
+        else:
+            fee_price = prices.price(fee_token)
+            if fee_price is None:
+                raise StalePrice(f"{fee_token} price not available")
+        details = pf.compute_fee(
+            self.gas_price, self.relay_gas, pocket_money, 0,
+            native_price.unit_price, fee_price.unit_price,
+            commission_bps=self.commission_bps)
         return {
-            "base_fee": base,
-            "commission": commission,
-            "total_fee": base + commission,
+            # legacy flat fields (round-1 API)
+            "base_fee": details.relayer_cost_native,
+            "commission": details.commission_native,
+            "total_fee": details.total_cost_native,
             "valid_until": time.time() + QUOTE_TTL_S,
+            # reference QuoteFeeResponse
+            "fee_details": details.as_dict(),
+            "price_details": {
+                "gas_price": str(self.gas_price),
+                "native_token_price": str(native_price.token_price),
+                "native_token_unit_price": str(native_price.unit_price),
+                "fee_token_price": str(fee_price.token_price),
+                "fee_token_unit_price": str(fee_price.unit_price),
+            },
         }
+
+
+class StalePrice(Exception):
+    """Quote rejected: the price feed has no valid (unexpired) price."""
 
 
 @dataclass
@@ -202,9 +241,12 @@ class Taskmaster:
     def __init__(self, sim: ShielderSim, signer_keys: list[int],
                  fee_config: FeeConfig | None = None,
                  recharge_threshold: int = 0, recharge_amount: int = 0,
-                 nonce_policy: str = "caching"):
+                 nonce_policy: str = "caching",
+                 prices: "pf.Prices | None" = None):
         self.sim = sim
         self.fee_config = fee_config or FeeConfig()
+        self.prices = prices or pf.Prices(
+            [pf.TokenInfo(pf.NATIVE, static_price=Decimal(1))])
         self.metrics = Metrics()
         self.queue: queue.Queue = queue.Queue(maxsize=RELAY_QUEUE_CAPACITY)
         self.quote_cache: dict[str, dict] = {}
@@ -226,13 +268,24 @@ class Taskmaster:
 
     # -- quoting --
 
-    def quote_fees(self) -> dict:
-        q = self.fee_config.quote()
+    def quote_fees(self, fee_token: str = pf.NATIVE,
+                   pocket_money: int | None = None) -> dict:
+        q = self.fee_config.quote(self.prices, fee_token, pocket_money)
+        self._sample_price_metrics()
         self.quote_cache[str(id(q))] = q
         self._gc_quotes()
         q = dict(q)
         q["quote_id"] = str(id(q))
         return q
+
+    def _sample_price_metrics(self):
+        """expired_price / price_age gauges (metrics.rs:23-24)."""
+        ages = self.prices.price_ages()
+        current = self.prices.current_prices()
+        self.metrics.gauges["price_age"] = {
+            k: (-1.0 if a is None else round(a, 3)) for k, a in ages.items()}
+        self.metrics.gauges["expired_price"] = {
+            k: int(current[k] is None) for k in current}
 
     def _gc_quotes(self):
         now = time.time()
@@ -370,7 +423,10 @@ def make_http_server(tm: Taskmaster, port: int = 0) -> ThreadingHTTPServer:
             elif self.path == "/fee_address":
                 self._json(200, {"fee_address": hex(tm.fee_destination)})
             elif self.path == "/quote_fees":
-                self._json(200, tm.quote_fees())
+                try:
+                    self._json(200, tm.quote_fees())
+                except StalePrice as e:
+                    self._json(500, {"error": str(e)})
             elif self.path == "/metrics":
                 body = tm.metrics.render().encode()
                 self.send_response(200)
@@ -383,6 +439,21 @@ def make_http_server(tm: Taskmaster, port: int = 0) -> ThreadingHTTPServer:
 
         def do_POST(self):
             tm.metrics.requests_total += 1
+            if self.path == "/quote_fees":
+                # reference POST body: {fee_token, pocket_money} (quote.rs)
+                length = int(self.headers.get("Content-Length", "0"))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    q = tm.quote_fees(
+                        fee_token=body.get("fee_token", pf.NATIVE),
+                        pocket_money=(int(body["pocket_money"])
+                                      if "pocket_money" in body else None))
+                    self._json(200, q)
+                except StalePrice as e:
+                    self._json(500, {"error": str(e)})
+                except (KeyError, ValueError) as e:
+                    self._json(400, {"error": str(e)})
+                return
             if self.path != "/relay":
                 self._json(404, {"error": "not found"})
                 return
