@@ -19,7 +19,8 @@ import time
 from zkos_tpu.models import shielder as sh
 from zkos_tpu.ops import grumpkin_golden as GR
 from zkos_tpu.protocol import contract, merkle, notes, secrets
-from zkos_tpu.proof import codegen, plonk, solidity, srs as srs_mod
+from zkos_tpu.proof import codegen, plonk, poseidon2_sol, solidity, \
+    srs as srs_mod
 
 OUT = os.path.join(os.path.dirname(__file__), "artifacts")
 
@@ -55,6 +56,11 @@ def main():
     max_k = int(os.environ.get("ZKOS_GENERATOR_MAX_K", "11"))
     srs = srs_mod.read(k=max_k)
     os.makedirs(OUT, exist_ok=True)
+    # on-chain hash contract (make generate-poseidon-contracts analog)
+    p2_path = os.path.join(OUT, "Poseidon2T8Assembly.sol")
+    with open(p2_path, "w") as f:
+        f.write(poseidon2_sol.render())
+    print(f"Poseidon2T8Assembly: sol={os.path.getsize(p2_path)}B", flush=True)
     engine = sys.argv[1] if len(sys.argv) > 1 else "host"
     for name, build in _examples(contract.consts.TREE_HEIGHT):
         t0 = time.time()
