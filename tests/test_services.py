@@ -419,3 +419,85 @@ def test_price_feed_worker_refreshes():
         assert prices.price(pf.NATIVE).token_price == Decimal("3")
     finally:
         prices.stop()
+
+
+# --------------------------------------------------------------------------
+# TEE attestation (nitro-attestation analog: verify.ts steps 1-8)
+# --------------------------------------------------------------------------
+
+from zkos_tpu.srv import attestation as att  # noqa: E402
+
+
+def _tee_pair(server=None):
+    import socket as sk
+    a, b = sk.socketpair()
+    srv = server or ps.ProverServer(
+        prove_fn=lambda ct, w: (b"\x01\x02", [1, 2, 3]))
+    srv.serve_in_thread(a)
+    return srv, b
+
+
+def test_attestation_verifies_and_proof_flows():
+    srv, sock = _tee_pair()
+    expected = att.compute_pcrs(srv.module_id,
+                                {c: 1 for c in ps.CIRCUIT_TYPES})
+    client = ps.ProverClient(sock, root_pk=srv.ca.root_pk,
+                             expected_pcrs=expected)
+    proof, pub = client.generate_proof("Deposit", {"x": 1})
+    assert proof == b"\x01\x02" and pub == [1, 2, 3]
+    assert client._verified_key == srv.pk
+
+
+def test_attestation_rejects_wrong_root():
+    srv, sock = _tee_pair()
+    from zkos_tpu.ops import grumpkin_golden as GR
+
+    wrong_root = GR.scalar_mul(0xBAD, GR.GEN)
+    client = ps.ProverClient(sock, root_pk=wrong_root)
+    with pytest.raises(att.AttestationError, match="chain"):
+        client.tee_public_key()
+
+
+def test_attestation_rejects_pcr_mismatch():
+    srv, sock = _tee_pair()
+    client = ps.ProverClient(sock, root_pk=srv.ca.root_pk,
+                             expected_pcrs={"0": "ff" * 32})
+    with pytest.raises(att.AttestationError, match="pcr"):
+        client.tee_public_key()
+
+
+def test_attestation_rejects_tampered_document_and_key_substitution():
+    from zkos_tpu.ops import grumpkin_golden as GR
+
+    ca = att.PlatformCA()
+    enclave_pk = GR.scalar_mul(0xA11CE, GR.GEN)
+    doc = att.build_document(ca, "mod", enclave_pk, {"Deposit": 1})
+    # baseline verifies
+    assert att.verify_document(doc, ca.root_pk) == enclave_pk
+    # tampering with the bound public key breaks the signature
+    bad = dict(doc)
+    other = GR.scalar_mul(0x666, GR.GEN)
+    bad["public_key_x"], bad["public_key_y"] = other
+    with pytest.raises(att.AttestationError, match="signature"):
+        att.verify_document(bad, ca.root_pk)
+    # missing fields -> structure error
+    with pytest.raises(att.AttestationError, match="structure"):
+        att.verify_document({"module_id": "x"}, ca.root_pk)
+    # server claiming a different key than attested -> binding error
+    srv = ps.ProverServer(prove_fn=lambda ct, w: (b"", []))
+    srv.pk = other  # substitute after attestation was built
+    _, sock = _tee_pair(server=srv)
+    client = ps.ProverClient(sock, root_pk=srv.ca.root_pk)
+    with pytest.raises(att.AttestationError, match="binding"):
+        client.tee_public_key()
+
+
+def test_attestation_expiry():
+    from zkos_tpu.ops import grumpkin_golden as GR
+
+    ca = att.PlatformCA()
+    pk = GR.scalar_mul(7, GR.GEN)
+    doc = att.build_document(ca, "m", pk, {}, timestamp=time.time() - 3600)
+    with pytest.raises(att.AttestationError, match="expired"):
+        att.verify_document(doc, ca.root_pk, max_age_s=60)
+    assert att.verify_document(doc, ca.root_pk, max_age_s=7200) == pk

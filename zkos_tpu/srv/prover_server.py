@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from ..ops import grumpkin_golden as GR
 from ..ops.keccak import keccak256
+from . import attestation as att
 from .content_encryption import _aead_decrypt, _aead_encrypt
 
 CIRCUIT_TYPES = ("NewAccount", "Deposit", "Withdraw")  # protocol.rs:63-68
@@ -68,14 +69,25 @@ def ecies_decrypt(sk: int, blob: dict) -> bytes:
 
 @dataclass
 class ProverServer:
-    """In-enclave prover: keypair + prove callback per circuit type."""
+    """In-enclave prover: keypair + prove callback per circuit type.
+
+    On startup the enclave produces a signed attestation document binding
+    its ECIES public key (attestation.build_document — the NSM
+    get_attestation_document analog); clients verify it against the
+    pinned platform root key before trusting the channel.
+    """
 
     prove_fn: object  # (circuit_type, witness_dict) -> (proof_bytes, pub_inputs)
     sk: int = 0xA11CE
-    attestation: str = "zkos-tpu-dev-attestation"
+    module_id: str = "zkos-tpu-prover-enclave"
+    ca: "att.PlatformCA | None" = None
 
     def __post_init__(self):
         self.pk = GR.scalar_mul(self.sk, GR.GEN)
+        self.ca = self.ca or att.PlatformCA()
+        self.attestation = att.build_document(
+            self.ca, self.module_id, self.pk,
+            circuit_versions={c: 1 for c in CIRCUIT_TYPES})
 
     def handle(self, req: dict) -> dict:
         kind = req.get("type")
@@ -119,12 +131,23 @@ class ProverServer:
 
 
 class ProverClient:
-    """Client side (the -server proxy + sdk 'light' client roles)."""
+    """Client side (the -server proxy + sdk 'light' client roles).
 
-    def __init__(self, sock: socket.socket, user_sk: int = 0xB0B):
+    Mirrors the wasm-light flow (teeClient.ts + nitro-attestation/): the
+    TEE public key is only trusted after its attestation document
+    verifies against the pinned platform root key, and the attested key
+    must equal the key the server claims — a key-substitution MITM fails
+    the check.  Pass ``root_pk=None`` to skip (dev only).
+    """
+
+    def __init__(self, sock: socket.socket, user_sk: int = 0xB0B,
+                 root_pk=None, expected_pcrs: dict | None = None):
         self.sock = sock
         self.user_sk = user_sk % GR.SCALAR_ORDER
         self.user_pk = GR.scalar_mul(self.user_sk, GR.GEN)
+        self.root_pk = root_pk
+        self.expected_pcrs = expected_pcrs
+        self._verified_key: tuple[int, int] | None = None
 
     def ping(self) -> bool:
         send_msg(self.sock, {"type": "Ping"})
@@ -132,7 +155,16 @@ class ProverClient:
 
     def tee_public_key(self) -> dict:
         send_msg(self.sock, {"type": "TeePublicKey"})
-        return recv_msg(self.sock)
+        info = recv_msg(self.sock)
+        if self.root_pk is not None and self._verified_key is None:
+            attested = att.verify_document(
+                info["attestation"], self.root_pk,
+                expected_pcrs=self.expected_pcrs)
+            if attested != (info["x"], info["y"]):
+                raise att.AttestationError(
+                    "binding: served key differs from attested key")
+            self._verified_key = attested
+        return info
 
     def generate_proof(self, circuit_type: str, witness: dict,
                        ephemeral: int = 0xE9) -> tuple[bytes, list]:
