@@ -501,3 +501,90 @@ def test_attestation_expiry():
     with pytest.raises(att.AttestationError, match="expired"):
         att.verify_document(doc, ca.root_pk, max_age_s=60)
     assert att.verify_document(doc, ca.root_pk, max_age_s=7200) == pk
+
+
+# --------------------------------------------------------------------------
+# structured config (config/mod.rs + tests.rs::config_resolution)
+# --------------------------------------------------------------------------
+
+from zkos_tpu.srv import config as cfg  # noqa: E402
+
+
+def test_config_resolution_cli_env_default_mix():
+    """Every source wins at its precedence: CLI > env > default."""
+    env = {
+        "ZKOS_RELAYER_PORT": "1234",                      # env
+        "ZKOS_RELAYER_SIGNING_KEYS": "key1aaaaa,key2bbbbb",
+        "ZKOS_RELAYER_FEE_DESTINATION_KEY": "key0ccccc",
+        "ZKOS_RELAYER_RECHARGE_AMOUNT": str(10**18),
+        "ZKOS_RELAYER_PRICE_FEED_VALIDITY": "15",
+    }
+    argv = ["--metrics-port", "5678",                     # CLI
+            "--logging-format", "json",
+            "--dry-running", "always",
+            "--quote-validity", "11",
+            "--relay-gas", str(cfg.DEFAULT_RELAY_GAS + 1),
+            "--token-config", json.dumps([
+                {"kind": "native", "price_url": "https://price.feed"},
+                {"kind": "erc20", "address": "0x2222", "decimals": 10,
+                 "static_price": "1.23"},
+            ])]
+    c = cfg.resolve_config(argv, env)
+    assert c.logging_format == "json"
+    assert c.network.host == cfg.DEFAULT_HOST                 # default
+    assert c.network.port == 1234                             # env
+    assert c.network.metrics_port == 5678                     # CLI
+    assert c.network.main_address() == "0.0.0.0:1234"
+    assert c.chain.relay_gas == cfg.DEFAULT_RELAY_GAS + 1
+    assert c.operations.dry_running == "always"
+    assert c.operations.recharge_amount == 10**18
+    assert c.operations.recharge_threshold == \
+        cfg.DEFAULT_RECHARGE_THRESHOLD
+    assert c.operations.price_feed_validity_s == 15.0
+    assert c.operations.quote_validity_s == 11.0
+    assert c.keys.signing_keys == ("key1aaaaa", "key2bbbbb")
+    # token config parsed into TokenInfo entries
+    toks = c.operations.token_config
+    assert toks[0].kind == "native" and toks[0].fetcher is not None
+    from decimal import Decimal as D
+    assert toks[1].kind == "erc20:0x2222" and toks[1].decimals == 10
+    assert toks[1].static_price == D("1.23")
+
+
+def test_config_missing_required_and_validation():
+    with pytest.raises(cfg.ConfigError, match="signing_keys"):
+        cfg.resolve_config([], {"ZKOS_RELAYER_FEE_DESTINATION_KEY": "k0"})
+    with pytest.raises(cfg.ConfigError, match="nonce_policy"):
+        cfg.resolve_config(
+            ["--nonce-policy", "bogus"],
+            {"ZKOS_RELAYER_FEE_DESTINATION_KEY": "k0aaaaaaa",
+             "ZKOS_RELAYER_SIGNING_KEYS": "k1aaaaaaa"})
+
+
+def test_config_key_redaction():
+    """Signing keys never appear in repr (KeyConfig Debug analog)."""
+    k = cfg.KeyConfig(fee_destination_key="supersecretkey0",
+                      signing_keys=("supersecretkey1",))
+    r = repr(k)
+    assert "supersecretkey1" not in r and "supersecretkey0" not in r
+    assert "super...ey1" in r
+
+
+def test_taskmaster_from_config_boots_and_relays():
+    env = {"ZKOS_RELAYER_FEE_DESTINATION_KEY": "0xF0",
+           "ZKOS_RELAYER_SIGNING_KEYS": "0xC1,0xC2",
+           "ZKOS_RELAYER_DRY_RUNNING": "always",
+           "ZKOS_RELAYER_SERVICE_FEE_PERCENT": "2"}
+    c = cfg.resolve_config([], env)
+    sim = _sim()
+    _seed_account(sim)
+    tm = rl.Taskmaster.from_config(sim, c)
+    try:
+        assert tm.fee_config.commission_bps == 200
+        assert tm._always_dry_run
+        t = tm.register_new_task(_withdraw_request(sim, 0))
+        assert t.done.wait(10) and t.result["status"] == "ok"
+        q = tm.quote_fees()
+        assert q["commission"] == q["base_fee"] * 2 // 100
+    finally:
+        tm.shutdown()

@@ -310,7 +310,9 @@ class Taskmaster:
                 continue
             task.annotate("received by worker")
             try:
-                optimistic = self._success_streak >= OPTIMISTIC_DRY_RUN_THRESHOLD
+                optimistic = (not getattr(self, "_always_dry_run", False)
+                              and self._success_streak
+                              >= OPTIMISTIC_DRY_RUN_THRESHOLD)
                 if not optimistic:
                     self._dry_run(task.request)
                     task.annotate("dry run completed")
@@ -376,6 +378,34 @@ class Taskmaster:
 
     def shutdown(self):
         self._stop.set()
+
+    @classmethod
+    def from_config(cls, sim: ShielderSim, server_config) -> "Taskmaster":
+        """Boot the fleet from a resolved ServerConfig (main.rs:75-111).
+
+        Signing keys are hex strings in config (the reference's raw key
+        strings); the sim addresses them by int.
+        """
+        ops = server_config.operations
+        prices = pf.Prices(
+            list(ops.token_config) or
+            [pf.TokenInfo(pf.NATIVE, static_price=Decimal(1))],
+            validity_s=ops.price_feed_validity_s,
+            refresh_interval_s=ops.price_feed_refresh_interval_s)
+        tm = cls(
+            sim,
+            signer_keys=[int(k, 16) for k in server_config.keys.signing_keys],
+            fee_config=FeeConfig(
+                relay_gas=server_config.chain.relay_gas,
+                commission_bps=ops.service_fee_percent * 100),
+            recharge_threshold=ops.recharge_threshold,
+            recharge_amount=ops.recharge_amount,
+            nonce_policy=ops.nonce_policy,
+            prices=prices)
+        if ops.dry_running == "always":
+            # never switch to optimistic mode: keep the streak pinned low
+            tm._always_dry_run = True
+        return tm
 
 
 def make_http_server(tm: Taskmaster, port: int = 0) -> ThreadingHTTPServer:
