@@ -243,3 +243,111 @@ def test_gas_regression_matrix():
         assert contract.GAS_VERIFY[label.rsplit("_", 1)[0]
                                    .replace("new_account", "new_account")] \
             < gas <= ceilings[label] * 1.1, (label, gas)
+
+
+# --------------------------------------------------------------------------
+# round-3 widening toward the reference's 36 cases
+# (withdraw.rs:161-896: max-amount boundary, wrong pocket money,
+#  memo-bearing actions, stale version, per-scenario gas deltas)
+# --------------------------------------------------------------------------
+
+def _commitment_pinning_sim(expected_commitment, **kw):
+    """Verifier stub that checks the commitment public input, modelling
+    the circuit's binding of {caller/relayer/fees/pocket money/memo}:
+    calldata that recomputes a different commitment than the prover used
+    fails verification (withdraw.rs fails_if_incorrect_pocket_money)."""
+    def vfy(proof, pub):
+        return proof == b"ok" and pub[5] == expected_commitment
+
+    sim = contract.ShielderSim(
+        verify_new_account=OK, verify_deposit=OK, verify_withdraw=vfy,
+        ar_pubkey=(1, 2), tree_height=3, **kw)
+    sim.erc20_mint(TOKEN, CALLER, 10**9)
+    return sim
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_withdraw_accepts_max_amount(variant):
+    """amount == MAX_TRANSACTION_AMOUNT passes the cap check
+    (withdraw.rs accepts_max_amount); MAX+1 reverts."""
+    big = contract.MAX_TRANSACTION_AMOUNT
+    sim = _sim()
+    if variant == "erc20":
+        sim.erc20_mint(TOKEN, CALLER, big)
+    # shield the full cap (== MAX_CONTRACT_BALANCE), then withdraw it all
+    _na(sim, variant, amount=big)
+    _wd(sim, variant, amount=big, relayer_fee=1)
+    assert (sim.balances[TO] if variant == "native"
+            else sim.erc20_balance_of(TOKEN, TO)) == big - 1
+    sim2 = _sim()
+    with pytest.raises(contract.ShielderError, match="AmountTooHigh"):
+        _na(sim2, variant)
+        _wd(sim2, variant, amount=big + 1)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_withdraw_wrong_pocket_money_fails_verification(variant):
+    """The commitment binds pocket money: calldata with different pocket
+    money than the prover's recomputes a different commitment and the
+    proof no longer verifies (withdraw.rs fails_if_incorrect_pocket_money)."""
+    proved = contract.withdraw_commitment(
+        TO, RELAYER, 100, 1, 0, 0, b"")  # prover used pocket_money=0
+    sim = _commitment_pinning_sim(proved)
+    _na(sim, variant)
+    kw = {} if variant == "native" else {"msg_value": 1}
+    with pytest.raises(contract.ShielderError,
+                       match="WithdrawVerificationFailed"):
+        _wd(sim, variant, pocket_money=1, **kw) if variant == "native" \
+            else _wd(sim, variant, msg_value=1)
+    # nothing reached the destination
+    assert sim.balances.get(TO, 0) == 0
+    assert sim.erc20_balance_of(TOKEN, TO) == 0
+
+
+def test_withdraw_memo_bound_and_delivered():
+    """Memo bytes are bound into the commitment and logged in the event
+    (memo-bearing cases, withdraw.rs ::native_memo/::erc20_memo)."""
+    memo = b"referral-0042"
+    proved = contract.withdraw_commitment(TO, RELAYER, 100, 1, 0, 0, memo)
+    sim = _commitment_pinning_sim(proved)
+    _na(sim)
+    # wrong memo -> different commitment -> verification fails
+    with pytest.raises(contract.ShielderError,
+                       match="WithdrawVerificationFailed"):
+        _wd(sim, memo=b"other")
+    # right memo verifies and lands in the event (memo-scan source)
+    _wd(sim, memo=memo)
+    ev = sim.events[-1]
+    assert ev["kind"] == "Withdraw" and ev["memo"] == memo
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_stale_version_calldata(variant):
+    """Calldata pinned to the previous contract version (0x000100) is
+    rejected with WrongContractVersion (version gating, Shielder.sol:114)."""
+    sim = _sim()
+    stale = VERSION - 1
+    with pytest.raises(contract.ShielderError,
+                       match="WrongContractVersion"):
+        _na(sim, variant, expected_version=stale)
+    _na(sim, variant)
+    with pytest.raises(contract.ShielderError,
+                       match="WrongContractVersion"):
+        _wd(sim, variant, expected_version=stale)
+
+
+def test_gas_deltas_per_scenario():
+    """Memo bytes and proof bytes price in at GAS_CALLDATA_BYTE each;
+    ERC20 paths cost more than native (extra token transfers) — the
+    per-scenario delta reporting of gas_consumption.rs:27-141."""
+    sim = _sim()
+    _na(sim)
+    base = sim.last_gas
+    sim2 = _sim()
+    memo = b"m" * 64
+    _na(sim2, memo=memo)
+    assert sim2.last_gas - base == contract.GAS_CALLDATA_BYTE * len(memo)
+    # erc20 > native for the same action (one extra SafeERC20 transfer)
+    sim3 = _sim()
+    _na(sim3, "erc20")
+    assert sim3.last_gas > base
