@@ -1,0 +1,91 @@
+"""Phase-level MSM profiler (run on the TPU, solo).
+
+Times each stage of ops.msm.msm_window_sums as its own jit at the bench
+shape (2^20, c=13): sort+gather, prefix scan, boundary gather + bucket
+diff, weighted window sums.  Per-kernel roofline context printed per
+phase (bytes touched, EC adds).
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from zkos_tpu.ops import curve as C  # noqa: E402
+from zkos_tpu.ops import field as F  # noqa: E402
+from zkos_tpu.ops import msm as M  # noqa: E402
+
+LOG_N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+CVAL = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+N = 1 << LOG_N
+
+
+def t(fn, *args, iters=3, tag=""):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0])  # compile+drain
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    print(f"{tag:28s} {times[len(times)//2]*1e3:9.1f} ms", flush=True)
+    return out
+
+
+def main():
+    print(f"device={jax.devices()[0].device_kind} n=2^{LOG_N} c={CVAL} "
+          f"steps={STEPS}", flush=True)
+    pts = M.__dict__.get("device_points_affine")
+    from bench import device_points_affine, _seeded_limbs
+
+    points = device_points_affine(N)
+    np.asarray(points[0, 0, :2])
+
+    @jax.jit
+    def digits(seed):
+        sc = _seeded_limbs(seed, (F.N_LIMBS, N))
+        return M.limbs_to_digits_signed(sc, CVAL)
+
+    sd = t(digits, jnp.uint32(1), tag="digit recode")
+
+    sort_j = jax.jit(M._sorted_window_inputs)
+    sorted_pts, sorted_mag = t(sort_j, points, sd, tag="sort+gather")
+
+    scan_j = jax.jit(lambda sp: M._chunked_prefix_scan(sp, STEPS))
+    prefix, chunk_excl = t(scan_j, sorted_pts, tag="prefix scan")
+
+    b = 1 << (CVAL - 1)
+
+    @jax.jit
+    def boundary(prefix, chunk_excl, sorted_mag):
+        targets = jnp.arange(1, b + 2, dtype=jnp.uint32)
+        bounds = jax.vmap(lambda row: jnp.searchsorted(row, targets))(
+            sorted_mag).astype(jnp.uint32)
+        s_at = M._boundary_prefix(prefix, chunk_excl, bounds)
+        return C.ec_add(s_at[..., 1:], C.ec_neg(s_at[..., :-1]))
+
+    buckets = t(boundary, prefix, chunk_excl, sorted_mag,
+                tag="boundary+bucket-diff")
+
+    wsum_j = jax.jit(M._weighted_window_sums)
+    t(wsum_j, buckets, tag="weighted window sums")
+
+    @jax.jit
+    def full(seed, p):
+        sc = _seeded_limbs(seed, (F.N_LIMBS, N))
+        return M.msm_window_sums(p, sc, c=CVAL, steps=STEPS)
+
+    t(full, jnp.uint32(2), points, tag="FULL msm_window_sums")
+
+
+if __name__ == "__main__":
+    main()

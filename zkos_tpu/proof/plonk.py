@@ -467,7 +467,7 @@ def permute_lookup_pair(a_usable: list[int], s_usable: list[int]):
 
 def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
           rng: _random.Random | None = None, engine: str | None = None,
-          pcs: str = "bdfg21") -> bytes:
+          pcs: str = "bdfg21", commit_fn=None) -> bytes:
     """advice_values: num_advice lists of n ints (lagrange, unblinded).
 
     engine="device" (default) runs every polynomial/commitment kernel on
@@ -478,10 +478,16 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     os-entropy blinding in production.
     """
     rng = rng or _random.Random(42)
-    if (engine or DEFAULT_ENGINE) == "device" and pcs == "bdfg21":
+    if commit_fn is None and (engine or DEFAULT_ENGINE) == "device" \
+            and pcs == "bdfg21":
         from . import engine as eng
 
         return eng.prove_device(pk, advice_values, instances, rng)
+    # commit_fn overrides the commitment backend for the host-driven
+    # engine (e.g. parallel.prover routes every commit through a
+    # points-sharded mesh MSM); byte-identical proofs either way.
+    _commit_poly = (commit_fn if commit_fn is not None
+                    else lambda p: _commit(pk.srs, p))
     cs = pk.vk.cs
     d = pk.vk.domain
     n = d.n
@@ -501,7 +507,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
             col[r] = rng.randrange(P)  # blinding rows
     advice_polys = [d.lagrange_to_coeff(col) for col in advice]
     for p in advice_polys:
-        tr.write_point(_commit(pk.srs, p))
+        tr.write_point(_commit_poly(p))
     theta = tr.squeeze_challenge()
 
     # -- phase 1.5: lookup permuted input/table commitments --
@@ -519,8 +525,8 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
                   ap_poly=d.lagrange_to_coeff(ap),
                   sp_poly=d.lagrange_to_coeff(sp))
         lookup_data.append(ld)
-        tr.write_point(_commit(pk.srs, ld["ap_poly"]))
-        tr.write_point(_commit(pk.srs, ld["sp_poly"]))
+        tr.write_point(_commit_poly(ld["ap_poly"]))
+        tr.write_point(_commit_poly(ld["sp_poly"]))
     # beta is a fresh squeeze iff the permuted commitments were absorbed
     # (util.rs:147-150 merges the beta/gamma phase only when lookup-free)
     beta = (tr.squeeze_challenge() if cs.lookups
@@ -557,7 +563,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         col_offset += len(chunk)
     z_polys = [d.lagrange_to_coeff(zv) for zv in z_values_all]
     for p in z_polys:
-        tr.write_point(_commit(pk.srs, p))
+        tr.write_point(_commit_poly(p))
 
     # lookup grand products (z_lookup per argument)
     lookup_z_polys = []
@@ -573,10 +579,10 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         ld["z"] = zl
         zp = d.lagrange_to_coeff(zl)
         lookup_z_polys.append(zp)
-        tr.write_point(_commit(pk.srs, zp))
+        tr.write_point(_commit_poly(zp))
 
     random_poly = [rng.randrange(P) for _ in range(n)]
-    tr.write_point(_commit(pk.srs, random_poly))
+    tr.write_point(_commit_poly(random_poly))
     y = tr.squeeze_challenge()
 
     # -- phase 3: quotient --
@@ -630,7 +636,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     assert all(c == 0 for c in t_coeffs[num_q * n :]), "quotient degree overflow"
     t_pieces = [t_coeffs[i * n : (i + 1) * n] for i in range(num_q)]
     for piece in t_pieces:
-        tr.write_point(_commit(pk.srs, piece))
+        tr.write_point(_commit_poly(piece))
     x = tr.squeeze_challenge()
 
     # -- evaluations --
@@ -687,7 +693,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
                     comb[i2] = (comb[i2] + nu_pow * cc) % P
                 nu_pow = nu_pow * nu % P
             w_i = dom.poly_divide_linear(comb, z_i)  # (p - p(z))/(X - z)
-            tr.write_point(_commit(pk.srs, w_i))
+            tr.write_point(_commit_poly(w_i))
         _mu = tr.squeeze_challenge()
         return bytes(tr.proof)
 
@@ -727,7 +733,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
             h_poly[i2] = (h_poly[i2] + nu_pow * c) % P
         nu_pow = nu_pow * nu % P
 
-    tr.write_point(_commit(pk.srs, h_poly))
+    tr.write_point(_commit_poly(h_poly))
     mu = tr.squeeze_challenge()
 
     z0_mu = 1
@@ -749,7 +755,7 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
         nu_pow = nu_pow * nu % P
     assert dom.poly_eval(l_poly, mu) == 0, "BDFG21 L(mu) != 0"
     w_prime = dom.poly_divide_linear(l_poly, mu)
-    tr.write_point(_commit(pk.srs, w_prime))
+    tr.write_point(_commit_poly(w_prime))
 
     return bytes(tr.proof)
 
