@@ -76,3 +76,24 @@ def test_collect_checkpoint_resume(tmp_path):
         new_note=900, prenullifier=hash_ints([900]), sym_c1=c1, sym_c2=c2,
         mac_salt=7, mac_commitment=hash_ints([7, id_]), proof=b"ok")
     assert op.collect_viewing_keys(sim, conn, sk) == 1
+
+
+def test_keygen_from_mnemonic_deterministic_and_on_curve():
+    """BIP-39 seed -> keccak -> ChaCha12 -> Grumpkin keypair
+    (ar-cli/src/common.rs:56-68); deterministic, passphrase-sensitive,
+    whitespace-normalized, and the collect/revoke pipeline works with a
+    mnemonic-derived key end-to-end."""
+    from zkos_tpu.ops import grumpkin_golden as GR
+    from zkos_tpu.srv import ar_operator as ar
+
+    m = ("legal winner thank year wave sausage worth useful "
+         "legal winner thank yellow")
+    sk, pk = ar.keys_from_mnemonic(m)
+    assert ar.keys_from_mnemonic(m) == (sk, pk)
+    assert ar.keys_from_mnemonic("  " + m.replace(" ", "  ")) == (sk, pk)
+    assert ar.keys_from_mnemonic(m, "TREZOR")[0] != sk
+    assert GR.is_on_curve(pk) and 0 < sk < GR.SCALAR_ORDER
+    # the derived key decrypts what was encrypted to its public half
+    msg = GR.scalar_mul(7, GR.GEN)
+    c1, c2 = GR.encrypt(msg, pk, ephemeral_k=12345)
+    assert GR.decrypt(c1, c2, sk) == msg

@@ -136,3 +136,73 @@ def reveal(conn, block: int) -> list[dict]:
         out.append({"block": blk, "kind": kind, "note_index": idx,
                     "amount": amount})
     return out
+
+
+# ---------------------------------------------------------------------------
+# key generation from a mnemonic (ar-cli/src/common.rs:56-68)
+# ---------------------------------------------------------------------------
+#
+# Pipeline: BIP-39 seed (PBKDF2-HMAC-SHA512, 2048 iters, salt "mnemonic" +
+# passphrase, 64 bytes) -> keccak256 -> 32-byte ChaCha12 RNG seed ->
+# grumpkin scalar via 64 uniform bytes reduced mod the group order (the
+# halo2curves Field::random / from_uniform_bytes recipe) -> (sk, sk*G).
+# The word list itself is not validated here (no vendored BIP-39 list);
+# the reference's tiny-bip39 enforces it client-side.
+
+def mnemonic_to_seed(mnemonic: str, passphrase: str = "") -> bytes:
+    """64-byte BIP-39 seed hashed to the 32-byte RNG seed
+    (common.rs:56-62: Seed::new then keccak256)."""
+    import hashlib
+    import unicodedata
+
+    from ..ops.keccak import keccak256
+
+    norm = unicodedata.normalize("NFKD", " ".join(mnemonic.split()))
+    salt = ("mnemonic" + unicodedata.normalize("NFKD", passphrase)).encode()
+    seed64 = hashlib.pbkdf2_hmac("sha512", norm.encode(), salt, 2048)
+    return keccak256(seed64)
+
+
+def _chacha12_bytes(seed: bytes, n: int) -> bytes:
+    """First n bytes of the ChaCha12 keystream (rand_chacha layout:
+    96-bit nonce zero, block counter from 0)."""
+    from .content_encryption import _quarter
+
+    import struct
+
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        st = list(struct.unpack("<4I", b"expand 32-byte k"))
+        st += list(struct.unpack("<8I", seed))
+        st += [counter & 0xFFFFFFFF, 0, 0, 0]
+        working = st[:]
+        for _ in range(6):  # 12 rounds = 6 double rounds
+            _quarter(working, 0, 4, 8, 12)
+            _quarter(working, 1, 5, 9, 13)
+            _quarter(working, 2, 6, 10, 14)
+            _quarter(working, 3, 7, 11, 15)
+            _quarter(working, 0, 5, 10, 15)
+            _quarter(working, 1, 6, 11, 12)
+            _quarter(working, 2, 7, 8, 13)
+            _quarter(working, 3, 4, 9, 14)
+        out += struct.pack(
+            "<16I", *[(w + s) & 0xFFFFFFFF for w, s in zip(working, st)])
+        counter += 1
+    return bytes(out[:n])
+
+
+def seed_to_keypair(seed: bytes):
+    """32-byte seed -> (grumpkin sk, pubkey) (common.rs:64-68)."""
+    from ..ops import grumpkin_golden as GR
+
+    wide = _chacha12_bytes(seed, 64)
+    sk = int.from_bytes(wide, "little") % GR.SCALAR_ORDER
+    if sk == 0:  # vanishing probability; skip ahead like redrawing
+        sk = 1
+    return sk, GR.scalar_mul(sk, GR.GEN)
+
+
+def keys_from_mnemonic(mnemonic: str, passphrase: str = ""):
+    """BIP-39 mnemonic -> AR Grumpkin keypair (ar-cli keygen command)."""
+    return seed_to_keypair(mnemonic_to_seed(mnemonic, passphrase))
