@@ -103,9 +103,11 @@ def test_newaccount_and_withdraw_pronto_round_trips():
         ("withdraw", lambda k: sh.build_withdraw(k, wit),
          lambda: wit.public_input(root)),
     ]
+    srs11 = srs_mod.read(k=11)
     for name, build, pub_fn in cases:
         meta = json.load(open(os.path.join(ART, f"{name}_meta.json")))
-        srs = srs_mod.read(k=meta["k"])
+        # only the k=11 ptau ships; shrink for smaller min-k relations
+        srs = srs11.shrink(meta["k"]) if meta["k"] < 11 else srs11
         builder = build(meta["k"])
         cs = sh._cs_with_copies(meta["k"], builder)
         pk = serialize.unmarshall_pk(
