@@ -57,22 +57,37 @@ from .mesh import DATA_AXIS
 # data-parallel batches (no communication)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _hash_graph(mesh):
+    """One jitted graph per mesh: rebuilding jax.jit per call would
+    retrace every invocation (measured as the 2-device efficiency loss
+    in SCALING_r02 — the batch shard itself is comms-free)."""
+    out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(P2.hash_n, out_shardings=out_sh)
+
+
 def sharded_hash_n(mesh, inputs: jax.Array) -> jax.Array:
     """Poseidon2 hash with the batch axis sharded over the mesh.
 
     inputs: (18, n, B) canonical limbs, B divisible by mesh size.
     """
     in_sh = NamedSharding(mesh, P(None, None, DATA_AXIS))
-    out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
     inputs = jax.device_put(inputs, in_sh)
-    return jax.jit(P2.hash_n, out_shardings=out_sh)(inputs)
+    return _hash_graph(mesh)(inputs)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_batch_graph(mesh, inverse: bool):
+    sh = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    return jax.jit(functools.partial(NTT.ntt, inverse=inverse),
+                   out_shardings=sh)
 
 
 def sharded_ntt_batch(mesh, a: jax.Array, inverse: bool = False) -> jax.Array:
     """Many independent NTTs: (18, n, B) with the B axis sharded (no comms)."""
     sh = NamedSharding(mesh, P(None, None, DATA_AXIS))
     a = jax.device_put(a, sh)
-    return jax.jit(functools.partial(NTT.ntt, inverse=inverse), out_shardings=sh)(a)
+    return _ntt_batch_graph(mesh, inverse)(a)
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +106,20 @@ def _fold_points(pts: jax.Array) -> jax.Array:
     return pts[..., 0]
 
 
+@functools.lru_cache(maxsize=None)
+def _msm_graph(mesh, c: int, groups: int | None):
+    p_spec = P(None, None, DATA_AXIS)
+    s_spec = P(None, DATA_AXIS)
+
+    def local(pts, sc):
+        partial = M.msm_mont(pts, sc, c=c, groups=groups)  # (3, 18)
+        allp = jax.lax.all_gather(partial, DATA_AXIS, axis=2)  # (3, 18, n_dev)
+        return _fold_points(allp)
+
+    fn = shard_map(local, mesh=mesh, in_specs=(p_spec, s_spec), out_specs=P())
+    return jax.jit(fn)
+
+
 def sharded_msm(mesh, points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
                 groups: int | None = None) -> jax.Array:
     """MSM with points+scalars sharded over the mesh "data" axis.
@@ -101,19 +130,11 @@ def sharded_msm(mesh, points: jax.Array, scalar_limbs: jax.Array, c: int = 8,
     n_dev = mesh.shape[DATA_AXIS]
     n = points.shape[-1]
     assert n % n_dev == 0, "pad the MSM to a multiple of the mesh size"
-
-    p_spec = P(None, None, DATA_AXIS)
-    s_spec = P(None, DATA_AXIS)
-    points = jax.device_put(points, NamedSharding(mesh, p_spec))
-    scalar_limbs = jax.device_put(scalar_limbs, NamedSharding(mesh, s_spec))
-
-    def local(pts, sc):
-        partial = M.msm_mont(pts, sc, c=c, groups=groups)  # (3, 18)
-        allp = jax.lax.all_gather(partial, DATA_AXIS, axis=2)  # (3, 18, n_dev)
-        return _fold_points(allp)
-
-    fn = shard_map(local, mesh=mesh, in_specs=(p_spec, s_spec), out_specs=P())
-    return jax.jit(fn)(points, scalar_limbs)
+    points = jax.device_put(
+        points, NamedSharding(mesh, P(None, None, DATA_AXIS)))
+    scalar_limbs = jax.device_put(
+        scalar_limbs, NamedSharding(mesh, P(None, DATA_AXIS)))
+    return _msm_graph(mesh, c, groups)(points, scalar_limbs)
 
 
 def sharded_msm_window_sums(mesh, points_xy: jax.Array,
@@ -129,10 +150,17 @@ def sharded_msm_window_sums(mesh, points_xy: jax.Array,
     """
     n_dev = mesh.shape[DATA_AXIS]
     assert points_xy.shape[-1] % n_dev == 0
+    points_xy = jax.device_put(
+        points_xy, NamedSharding(mesh, P(None, None, DATA_AXIS)))
+    scalar_limbs = jax.device_put(
+        scalar_limbs, NamedSharding(mesh, P(None, DATA_AXIS)))
+    return _msm_wsums_graph(mesh, c, steps)(points_xy, scalar_limbs)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_wsums_graph(mesh, c: int, steps: int | None):
     p_spec = P(None, None, DATA_AXIS)
     s_spec = P(None, DATA_AXIS)
-    points_xy = jax.device_put(points_xy, NamedSharding(mesh, p_spec))
-    scalar_limbs = jax.device_put(scalar_limbs, NamedSharding(mesh, s_spec))
 
     def local(pts, sc):
         ws = M.msm_window_sums(pts, sc, c=c, steps=steps)  # (3, 18, W)
@@ -140,7 +168,7 @@ def sharded_msm_window_sums(mesh, points_xy: jax.Array,
         return _fold_points(allw)  # (3, 18, W)
 
     fn = shard_map(local, mesh=mesh, in_specs=(p_spec, s_spec), out_specs=P())
-    return jax.jit(fn)(points_xy, scalar_limbs)
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -196,10 +224,15 @@ def sharded_ntt_4step(mesh, a_matrix: jax.Array, inverse: bool = False) -> jax.A
     n_dev = mesh.shape[DATA_AXIS]
     n1, n2 = a_matrix.shape[1], a_matrix.shape[2]
     assert n1 % n_dev == 0 and n2 % n_dev == 0
+    a_matrix = jax.device_put(
+        a_matrix, NamedSharding(mesh, P(None, DATA_AXIS, None)))
+    return _ntt4_graph(mesh, n1, n2, inverse)(a_matrix)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt4_graph(mesh, n1: int, n2: int, inverse: bool):
     spec_in = P(None, DATA_AXIS, None)
     spec_out = P(None, None, DATA_AXIS)
-    a_matrix = jax.device_put(a_matrix, NamedSharding(mesh, spec_in))
-
     w_mont = jnp.asarray(
         F.to_limbs(G.FR.to_mont(NTT.root_of_unity(n1 * n2, inverse=inverse))),
         dtype=jnp.uint32)
@@ -225,4 +258,4 @@ def sharded_ntt_4step(mesh, a_matrix: jax.Array, inverse: bool = False) -> jax.A
                        out_specs=spec_out)
         return fn(blk_in, row_heads)
 
-    return jax.jit(pipeline)(a_matrix)
+    return jax.jit(pipeline)
