@@ -182,6 +182,7 @@ def bench_deposit_prove() -> float | None:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     dev = jax.devices()[0]
     log(f"bench device: {dev.platform} / {dev.device_kind}")
 
@@ -194,25 +195,6 @@ def main() -> None:
             ntt24 = bench_ntt(24)
         except Exception as e:  # noqa: BLE001
             log(f"ntt 2^24 unavailable: {type(e).__name__}: {e}")
-    prove_ms = None
-    if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
-        # run in a budgeted subprocess: the six phase graphs compile for
-        # many minutes on a cold cache, and a driver-side bench run must
-        # never hang past its budget (warm-cache runs take seconds)
-        import subprocess
-
-        budget = int(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400"))
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--prove-only"],
-                capture_output=True, timeout=budget, text=True)
-            sys.stderr.write(out.stderr)
-            for line in out.stdout.splitlines():
-                if line.startswith("PROVE_MS "):
-                    prove_ms = float(line.split()[1])
-        except subprocess.TimeoutExpired:
-            log(f"deposit prove bench: exceeded {budget}s budget "
-                f"(cold compile cache); skipped this run")
 
     out = {
         "metric": f"msm_g1_points_per_s_2e{MSM_LOG_N}",
@@ -224,10 +206,45 @@ def main() -> None:
     }
     if ntt24 is not None:
         out["ntt_2e24_ms"] = round(ntt24, 1)
+    # Emit the kernel metrics NOW: if the driver's budget expires during the
+    # prove section below, this round still records its perf numbers (round 2
+    # lost all metrics to exactly that, VERDICT.md "What's missing" #1).
+    print(json.dumps(out), flush=True)
+
+    prove_ms = None
+    if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
+        # run in a budgeted subprocess: the six phase graphs compile for
+        # many minutes on a cold cache, and a driver-side bench run must
+        # never hang past its budget (warm-cache runs take seconds).  The
+        # budget is the smaller of ZKOS_BENCH_PROVE_TIMEOUT and what is
+        # left of the total bench budget after the kernel sections.
+        import subprocess
+
+        total = float(os.environ.get("ZKOS_BENCH_TOTAL_BUDGET", "3000"))
+        left = total - (time.perf_counter() - t_start) - 30.0
+        budget = min(float(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400")),
+                     left)
+        if budget < 60:
+            log(f"deposit prove bench: only {left:.0f}s of the "
+                f"{total:.0f}s total budget left; skipped this run")
+        else:
+            try:
+                sp = subprocess.run(
+                    [sys.executable, __file__, "--prove-only"],
+                    capture_output=True, timeout=budget, text=True)
+                sys.stderr.write(sp.stderr)
+                for line in sp.stdout.splitlines():
+                    if line.startswith("PROVE_MS "):
+                        prove_ms = float(line.split()[1])
+            except subprocess.TimeoutExpired:
+                log(f"deposit prove bench: exceeded {budget:.0f}s budget "
+                    f"(cold compile cache); skipped this run")
+
     if prove_ms is not None:
         out["deposit_prove_ms"] = round(prove_ms, 1)
         out["prove_vs_reference"] = round(BASELINE_PROVE_MS / prove_ms, 3)
-    print(json.dumps(out))
+        # updated line (supersedes the kernel-only line above)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

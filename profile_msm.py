@@ -27,14 +27,24 @@ STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 N = 1 << LOG_N
 
 
+def _drain(out):
+    """Force completion with a TINY device->host fetch: materializing any
+    slice of an output buffer requires the whole computation to finish, but
+    transfers only bytes — fetching full phase outputs (GBs) through the
+    tunnel would time transport, not the kernel."""
+    for leaf in jax.tree.leaves(out):
+        flat = leaf.reshape(-1)
+        np.asarray(jax.lax.dynamic_slice(flat, (flat.shape[0] - 1,), (1,)))
+
+
 def t(fn, *args, iters=3, tag=""):
     out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0])  # compile+drain
+    _drain(out)  # compile+drain
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])
+        _drain(out)
         times.append(time.perf_counter() - t0)
     times.sort()
     print(f"{tag:28s} {times[len(times)//2]*1e3:9.1f} ms", flush=True)
