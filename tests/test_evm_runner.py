@@ -7,6 +7,7 @@ surface, and `proof.gas.estimate` derives verification gas statically from
 the verifying key (regression constants: generator.rs:79-81).
 """
 
+from zkos_tpu.ops.grumpkin_golden import GEN as GRUMPKIN_GEN
 import pytest
 
 from zkos_tpu.ops.poseidon2 import hash_ints
@@ -24,7 +25,7 @@ def runner_and_addr():
     r = ev.EvmRunner.aleph_evm()
     sim = contract.ShielderSim(
         verify_new_account=OK, verify_deposit=OK, verify_withdraw=OK,
-        ar_pubkey=(1, 2), tree_height=3)
+        ar_pubkey=GRUMPKIN_GEN, tree_height=3)
     addr = r.create(sim)
     return r, addr
 

@@ -1,5 +1,6 @@
 """SDK plane: storage schema, sync, callbacks (ts/shielder-sdk analog)."""
 
+from zkos_tpu.ops.grumpkin_golden import GEN as GRUMPKIN_GEN
 import json
 
 import pytest
@@ -15,7 +16,7 @@ SK = 0xABCDEF
 def _sim():
     return contract.ShielderSim(
         verify_new_account=OK, verify_deposit=OK, verify_withdraw=OK,
-        ar_pubkey=(1, 2), tree_height=3)
+        ar_pubkey=GRUMPKIN_GEN, tree_height=3)
 
 
 def _client(sim, storage=None, callbacks=None):

@@ -1,5 +1,6 @@
 """Service plane: relayer fleet, prover protocol, fee estimator, client."""
 
+from zkos_tpu.ops.grumpkin_golden import GEN as GRUMPKIN_GEN
 import http.client
 import json
 import socket
@@ -23,7 +24,7 @@ VERSION = contract.CONTRACT_VERSION
 def _sim(**kw):
     return contract.ShielderSim(
         verify_new_account=OK_VERIFY, verify_deposit=OK_VERIFY,
-        verify_withdraw=OK_VERIFY, ar_pubkey=(1, 2), tree_height=3, **kw)
+        verify_withdraw=OK_VERIFY, ar_pubkey=GRUMPKIN_GEN, tree_height=3, **kw)
 
 
 def _seed_account(sim, note=111, pren=None):

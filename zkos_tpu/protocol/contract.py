@@ -105,6 +105,21 @@ class ShielderSim:
     def __post_init__(self):
         if self.tree is None:
             self.tree = merkle.MerkleTree(height=self.tree_height)
+        self._check_ar_pubkey(self.ar_pubkey)
+
+    @staticmethod
+    def _check_ar_pubkey(pk: tuple) -> None:
+        """Grumpkin on-curve gate at set-time: y^2 == x^3 - 17 over Fr
+        (contracts/AnonymityRevoker.sol:38-59 validates before storing)."""
+        x, y = int(pk[0]), int(pk[1])
+        p = P
+        if (y * y) % p != (x * x * x - 17) % p:
+            raise ShielderError("AnonymityRevokerPubkeyNotOnCurve")
+
+    def set_anonymity_revoker(self, new_pubkey: tuple) -> None:
+        """Owner rotation of the AR key, with the same on-curve gate."""
+        self._check_ar_pubkey(new_pubkey)
+        self.ar_pubkey = (int(new_pubkey[0]), int(new_pubkey[1]))
 
     # -- gas metering + dry-run (the sim's eth_estimateGas) --
 

@@ -57,7 +57,7 @@ class Deployment:
     poseidon2_address: int
 
 
-def deploy_suite(ar_pubkey=(1, 2), tree_height: int | None = None,
+def deploy_suite(ar_pubkey=None, tree_height: int | None = None,
                  art_dir: str = ART, verifiers: dict | None = None,
                  **sim_kwargs) -> Deployment:
     """Deploy ArbSys + Poseidon2 + three verifier libraries + Shielder.
@@ -66,6 +66,8 @@ def deploy_suite(ar_pubkey=(1, 2), tree_height: int | None = None,
     the behavior matrix; omitting it links the real committed twins —
     the library-placeholder linking step of deploy.rs:232-276).
     """
+    if ar_pubkey is None:
+        from ..ops.grumpkin_golden import GEN as ar_pubkey  # on-curve default
     runner = ev.EvmRunner.aleph_evm()
     runner.contracts[ev.REVERTING_ADDRESS] = object()  # transfer-failure
 
