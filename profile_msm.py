@@ -68,26 +68,37 @@ def main():
     sd = t(digits, jnp.uint32(1), tag="digit recode")
 
     sort_j = jax.jit(M._sorted_window_inputs)
-    sorted_pts, sorted_mag = t(sort_j, points, sd, tag="sort+gather")
+    packed, ssign, sorted_mag = t(sort_j, points, sd, tag="sort+gather")
 
+    # NOTE: profile phases at n <= 2^19 — holding every phase output alive
+    # (sorted points + transposed copy + the (M,3,18,W,L) prefix) overflows
+    # the 16 GB HBM at 2^20; in the fused kernel XLA frees intermediates.
     scan_j = jax.jit(lambda sp: M._chunked_prefix_scan(sp, STEPS))
-    prefix, chunk_excl = t(scan_j, sorted_pts, tag="prefix scan")
+    prefix, chunk_excl = t(scan_j, packed, tag="prefix scan")
+    del packed
 
     b = 1 << (CVAL - 1)
 
     @jax.jit
-    def boundary(prefix, chunk_excl, sorted_mag):
-        targets = jnp.arange(1, b + 2, dtype=jnp.uint32)
-        bounds = jax.vmap(lambda row: jnp.searchsorted(row, targets))(
-            sorted_mag).astype(jnp.uint32)
-        s_at = M._boundary_prefix(prefix, chunk_excl, bounds)
-        return C.ec_add(s_at[..., 1:], C.ec_neg(s_at[..., :-1]))
+    def boundary(prefix, chunk_excl, sd):
+        bounds = M._bucket_boundaries(jnp.abs(sd).astype(jnp.uint32), b)
+        return M._boundary_prefix(prefix, chunk_excl, bounds)
 
-    buckets = t(boundary, prefix, chunk_excl, sorted_mag,
-                tag="boundary+bucket-diff")
+    s_at = t(boundary, prefix, chunk_excl, sd, tag="hist+boundary gather")
 
-    wsum_j = jax.jit(M._weighted_window_sums)
-    t(wsum_j, buckets, tag="weighted window sums")
+    @jax.jit
+    def abel(s_at):
+        top = s_at[..., -1]
+        for _ in range(b.bit_length() - 1):
+            top = C.ec_add(top, top)
+        rest = s_at[..., :-1]
+        k = b
+        while k > 1:
+            rest = C.ec_add(rest[..., : k // 2], rest[..., k // 2 : k])
+            k //= 2
+        return C.ec_add(top, C.ec_neg(rest[..., 0]))
+
+    t(abel, s_at, tag="abel fold")
 
     @jax.jit
     def full(seed, p):

@@ -108,3 +108,15 @@ def test_msm_batched_commit(rng):
     ws = jax.vmap(lambda s: M.msm_window_sums(parr, s, c=8, steps=2))(sarr)
     for b, col in enumerate(cols):
         assert M.fold_windows_host(ws[b], 8) == CG.msm(col, pts)
+
+
+def test_msm_sorted_c16(rng):
+    """c=16 windows span exactly two 15-bit limbs (the sh=14 worst case
+    uses bits 14..29); full-scalar MSM must still match the golden oracle."""
+    pts = CG.random_points(np.random.default_rng(9), 32)
+    scalars = [int(x) for x in
+               np.random.default_rng(10).integers(0, 2**63, size=32)]
+    scalars[0] = G.FR_MODULUS - 1  # all-ones-ish top window + signed carry
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.asarray(F.to_limbs(scalars))
+    assert M.msm_affine_ints(parr, sarr, c=16, steps=4) == CG.msm(scalars, pts)

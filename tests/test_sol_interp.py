@@ -182,3 +182,19 @@ def test_all_sol_artifacts_parse_and_gate_size():
         assert sol.consts["N"] == 1 << meta["k"]
         assert "verifyProof" in sol.funcs
         assert sol.source_size <= MAX_CODE_SIZE
+
+
+def test_evm_runner_hosts_sol_contracts():
+    """EvmRunner deploys parsed .sol artifacts and routes calls through the
+    interpreter with its gas metering (evm_runner.rs create/call surface)."""
+    from zkos_tpu.srv.evm_runner import EvmRunner, Revert
+
+    runner = EvmRunner.aleph_evm()
+    addr = runner.create(SI.SolContract(MICRO))
+    r = runner.call(addr, "run", (7).to_bytes(32, "big"), [3])
+    assert isinstance(r.output, int)
+    assert r.gas_used > 21_000  # intrinsic + metered ops
+    with pytest.raises(Revert):
+        runner.call(addr, "run", b"\x00" * 32, [])
+    with pytest.raises(Revert):
+        runner.call(addr, "nosuch")

@@ -93,6 +93,35 @@ def ec_add_mixed_rows(x1, y1, z1, x2, y2):
     return x3, y3, z3
 
 
+_P2_INTS = [int(x) for x in F._np_limbs(2 * F.FQ.p)]
+
+
+def _neg2p(b):
+    """2p - b for canonical b (clean limbs, value < p), Mosaic-safe."""
+    borrow = jnp.zeros(b.shape[1:], jnp.uint32)
+    outs = []
+    for i in range(_N):
+        d = np.uint32(_P2_INTS[i]) + np.uint32(4 << _BITS) - b[i] - borrow
+        outs.append(d & _MASK)
+        borrow = np.uint32(4) - (d >> _BITS)
+    return jnp.stack(outs, axis=0)
+
+
+def _unpack_xy(g):
+    """(18, *batch) packed rows -> (x limbs, y limbs, sign).
+
+    Two 15-bit limbs per u32 word (x words 0..8, y words 9..17); the
+    otherwise-unused bit 31 of word 0 carries the digit sign, so the
+    packed rows are self-contained (no second input stream).
+    """
+    lo = g & _MASK
+    hi = (g >> _BITS) & _MASK
+    tail = g.shape[1:]
+    x = jnp.stack([lo[:_N // 2], hi[:_N // 2]], axis=1).reshape((_N,) + tail)
+    y = jnp.stack([lo[_N // 2:], hi[_N // 2:]], axis=1).reshape((_N,) + tail)
+    return x, y, g[0] >> 31
+
+
 def _prefix_kernel(xs_ref, out_ref, acc_ref):
     m = pl.program_id(1)
 
@@ -104,9 +133,11 @@ def _prefix_kernel(xs_ref, out_ref, acc_ref):
                          for v in _ONE_INTS], axis=0)[None]
         acc_ref[...] = jnp.concatenate([zero, one, zero], axis=0)
 
-    x = xs_ref[0]  # (2, 18, TILE)
+    g = xs_ref[0]   # (18, TILE) packed rows with embedded sign bit
+    x2, y2, sg = _unpack_xy(g)
+    y2 = jnp.where((sg != 0)[None], _neg2p(y2), y2)
     acc = acc_ref[...]
-    nx, ny, nz = ec_add_mixed_rows(acc[0], acc[1], acc[2], x[0], x[1])
+    nx, ny, nz = ec_add_mixed_rows(acc[0], acc[1], acc[2], x2, y2)
     new = jnp.stack([nx, ny, nz], axis=0)
     acc_ref[...] = new
     out_ref[0] = new
@@ -114,19 +145,23 @@ def _prefix_kernel(xs_ref, out_ref, acc_ref):
 
 def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
                        interpret: bool = False) -> jax.Array:
-    """Inclusive per-chunk EC prefix scan.
+    """Inclusive per-chunk EC prefix scan over PACKED sorted points.
 
-    xs: (M, 2, 18, LANES) sorted affine points, LANES % tile == 0.
-    Returns (M, 3, 18, LANES) running sums per lane (lane l's chunk is the
-    column l across all M steps).  Equals lax.scan of curve.ec_add_mixed.
+    xs: (M, 18, LANES) 72-byte packed affine rows (canonical limbs, two
+    per u32 word; bit 31 of word 0 = digit sign — y negated in-kernel).
+    LANES % tile == 0.  Returns (M, 3, 18, LANES) running sums per lane
+    (lane l's chunk is column l across the M steps).  Equals lax.scan of
+    curve.ec_add_mixed over the unpacked, sign-applied points —
+    unpack/negate run in VMEM, halving the kernel's HBM input stream vs
+    unpacked (2, 18) coordinates.
     """
-    m_steps, _, nl, lanes = xs.shape
+    m_steps, nl, lanes = xs.shape
     assert lanes % tile == 0
     return pl.pallas_call(
         _prefix_kernel,
         grid=(lanes // tile, m_steps),
-        in_specs=[pl.BlockSpec((1, 2, nl, tile),
-                               lambda t, m: (m, 0, 0, t),
+        in_specs=[pl.BlockSpec((1, nl, tile),
+                               lambda t, m: (m, 0, t),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, 3, nl, tile),
                                lambda t, m: (m, 0, 0, t),

@@ -50,8 +50,12 @@ def num_windows(c: int, nbits: int = 254) -> int:
 
 
 def limbs_to_digits(scalar_limbs: jax.Array, c: int) -> jax.Array:
-    """(18, N) canonical 15-bit limbs -> (W, N) uint32 digits in [0, 2^c)."""
-    assert 1 <= c <= 15
+    """(18, N) canonical 15-bit limbs -> (W, N) uint32 digits in [0, 2^c).
+
+    c <= 16: a window spans at most two 15-bit limbs (worst case
+    sh = 14, c = 16 uses bits 14..29 of the pair — exactly the 30 bits
+    two limbs provide)."""
+    assert 1 <= c <= 16
     w_count = num_windows(c)
     lb = F.LIMB_BITS
     n_limbs = scalar_limbs.shape[0]
@@ -248,57 +252,57 @@ _SCAN_STEPS_DEFAULT = 64
 
 
 def _sorted_window_inputs(points_xy: jax.Array, sdigits: jax.Array):
-    """Sort each window's points by digit magnitude.
+    """Sort each window's points by digit magnitude — PACKED output.
 
     points_xy: (2, 18, N) canonical-Montgomery affine; sdigits: (W, N) int32.
-    Returns (sorted_pts (2, 18, W, N) with y negated for negative digits,
+    Returns (packed (18, W, N) 72-byte rows — two 15-bit limbs per u32
+    word, x in words 0..8, y in 9..17 — sorted_sign (W, N) uint32,
     sorted_mag (W, N) uint32).
 
-    The point gather runs over 72-byte packed rows (two 15-bit limbs per
-    u32 word): TPU gathers are row-byte-bound, and packing measured 3.9x
-    faster than gathering the raw (N, 36)-word rows at 2^20 on v5e.
+    The point gather runs over the packed rows (TPU gathers are
+    row-byte-bound; packing measured 3.9x over raw (N, 36) rows at 2^20 on
+    v5e), and stays packed: the prefix-scan kernel unpacks and applies the
+    sign in VMEM, so the unpacked (2, 18, W, N) array is never
+    materialized in HBM.
     """
     n = points_xy.shape[-1]
-    w_count = sdigits.shape[0]
     mag = jnp.abs(sdigits).astype(jnp.uint32)  # (W, N)
     order = jnp.argsort(mag, axis=-1)  # (W, N)
     sorted_mag = jnp.take_along_axis(mag, order, axis=-1)
-    sorted_sign = jnp.take_along_axis(sdigits, order, axis=-1) < 0  # (W, N)
+    sorted_sign = (jnp.take_along_axis(sdigits, order, axis=-1) < 0
+                   ).astype(jnp.uint32)  # (W, N)
     flat = points_xy.reshape(2 * F.N_LIMBS, n)  # canonical limbs < 2^15
     packed = (flat[0::2] | (flat[1::2] << 15)).T  # (N, 18)
     g = jnp.moveaxis(jnp.take(packed, order, axis=0), -1, 0)  # (18, W, N)
-    lo = g & jnp.uint32(0x7FFF)
-    hi = g >> 15
-    pts = jnp.stack([lo, hi], axis=1).reshape(
-        2 * F.N_LIMBS, w_count, n).reshape(2, F.N_LIMBS, w_count, n)
-    y = pts[1]
-    y_neg = F.neg(F.FQ, y, k=2)  # canonical y < p
-    pts = pts.at[1].set(jnp.where(sorted_sign[None], y_neg, y))
-    return pts, sorted_mag
+    # embed the sign in word 0's spare bit 31 (words use 30 bits) so the
+    # scan kernel needs no second input stream
+    g = g.at[0].set(g[0] | (sorted_sign << 31))
+    return g, sorted_sign, sorted_mag
 
 
 def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def _chunked_prefix_scan(sorted_pts: jax.Array, steps: int):
-    """Per-lane serial EC prefix scan of the sorted points.
+def _chunked_prefix_scan(packed: jax.Array, steps: int):
+    """Per-lane serial EC prefix scan of the sorted (packed) points.
 
-    sorted_pts: (2, 18, W, N).  Lane l of window w owns the contiguous
-    slice [l*M, (l+1)*M) with M = steps.  Returns
+    packed: (18, W, N) 72-byte rows with the digit sign in word 0 bit 31.
+    Lane l of window w owns the contiguous slice [l*M, (l+1)*M) with
+    M = steps.  Returns
     (prefix (M, 3, 18, W, L) inclusive within-chunk prefixes,
      chunk_excl (3, 18, W, L) exclusive EC prefix over whole chunks).
 
     On TPU the scan runs as the Pallas kernel (ops.ec_pallas), which keeps
-    the accumulator in VMEM across the M sequential steps — measured 9.2x
-    over the lax.scan form at the 2^20 shape on v5e.
+    the accumulator in VMEM across the M sequential steps and unpacks the
+    72-byte rows in VMEM — measured 9.2x over the lax.scan form at the
+    2^20 shape on v5e, plus the halved HBM input stream from packing.
     """
-    nl, w_count, n = sorted_pts.shape[1:]
+    nl, w_count, n = packed.shape
     m = steps
     assert n % m == 0
     lanes = n // m
-    xs = sorted_pts.reshape(2, nl, w_count, lanes, m)
-    xs = jnp.moveaxis(xs, -1, 0)  # (M, 2, 18, W, L)
+    xs = jnp.moveaxis(packed.reshape(nl, w_count, lanes, m), -1, 0)
 
     flat_lanes = w_count * lanes
     tile = 512
@@ -306,12 +310,16 @@ def _chunked_prefix_scan(sorted_pts: jax.Array, steps: int):
         from . import ec_pallas as EP
 
         pref_flat = EP.prefix_scan_pallas(
-            xs.reshape(m, 2, nl, flat_lanes), tile=tile)
+            xs.reshape(m, nl, flat_lanes), tile=tile)
         prefix = pref_flat.reshape(m, 3, nl, w_count, lanes)
         totals = prefix[-1]
     else:
+        from . import ec_pallas as EP
+
         def body(acc, x):
-            acc = C.ec_add_mixed(acc, x)
+            px, py, s = EP._unpack_xy(x)
+            py = jnp.where((s != 0)[None], F.neg(F.FQ, py, k=2), py)
+            acc = C.ec_add_mixed(acc, jnp.stack([px, py], axis=0))
             return acc, acc
 
         totals, prefix = jax.lax.scan(
@@ -362,69 +370,58 @@ def _boundary_prefix(prefix: jax.Array, chunk_excl: jax.Array,
     j = jnp.maximum(boundaries, 1) - 1  # clamp; E==0 handled below
     lane = (j // m).astype(jnp.int32)
     pos = (j % m).astype(jnp.int32)
-    flat = jnp.moveaxis(prefix, 0, -2).reshape(3, nl, w_count, m * lanes)
-    # flat layout is (M, L) row-major -> position = pos*L + lane
-    fidx = (pos * lanes + lane)[None, None]  # (1, 1, W, B+1)
-    within = jnp.take_along_axis(
-        flat, jnp.broadcast_to(fidx, (3, nl) + fidx.shape[2:]), axis=-1)
-    base = jnp.take_along_axis(
-        chunk_excl, jnp.broadcast_to(lane[None, None],
-                                     (3, nl) + lane.shape), axis=-1)
+    # Row-major view (W, M*L, 3*nl): ONE 216-byte row gather per boundary
+    # instead of 54 element gathers (TPU gathers are row-bound; measured
+    # ~8x on the boundary phase at 2^19).  The transpose streams the big
+    # prefix array once at full bandwidth.
+    rows = jnp.transpose(prefix, (3, 0, 4, 1, 2)).reshape(
+        w_count, m * lanes, 3 * nl)
+    # barrier: without it XLA fuses the transpose into the gather, which
+    # degenerates back into 54 element gathers per boundary
+    rows = jax.lax.optimization_barrier(rows)
+    fidx = pos * lanes + lane  # (W, B+1)
+    within = jax.vmap(lambda mat, ix: jnp.take(mat, ix, axis=0))(rows, fidx)
+    within = jnp.transpose(
+        within.reshape(w_count, -1, 3, nl), (2, 3, 0, 1))  # (3, nl, W, B+1)
+    base_rows = jnp.transpose(chunk_excl, (2, 3, 0, 1)).reshape(
+        w_count, lanes, 3 * nl)
+    base = jax.vmap(lambda mat, ix: jnp.take(mat, ix, axis=0))(base_rows, lane)
+    base = jnp.transpose(base.reshape(w_count, -1, 3, nl), (2, 3, 0, 1))
     s = C.ec_add(base, within)
     ident = C.point_identity(boundaries.shape)
     return jnp.where((boundaries == 0)[None, None], ident, s)
 
 
-def _weighted_window_sums(buckets: jax.Array) -> jax.Array:
-    """sum_m (m+1) * buckets[..., m] per window, work-efficient.
+def _bucket_boundaries(mag: jax.Array, b: int) -> jax.Array:
+    """E_m = #elements with magnitude < m, for m = 1..b+1 — MXU histogram.
 
-    buckets: (3, 18, W, B) where slot m holds the magnitude-(m+1) bucket.
-    Two-level suffix scheme: with k = b1*B2 + b2,
-      T = B2 * sum_{b1} b1*U_{b1} + sum_{b1} V_{b1},
-    U = chunk totals, V = within-chunk weighted sums; both inner and outer
-    weighted sums use the serial  r += S; V += r  suffix recurrence
-    (work ~ 2*W*B ec_adds, ~B2 + B1 sequential steps), and the final *B2
-    scale is log2(B2) batched doublings.
+    mag: (W, N) uint32 in [0, b].  A vmapped searchsorted costs
+    log2(N) * W * (b+1) element gathers (measured 300+ ms at c=16, 2^19);
+    instead, count: split each magnitude into (coarse, fine) = (m >> 7,
+    m & 127), one-hot both halves per 2048-element chunk, and contract the
+    chunk axis on the MXU — hist[w, coarse, fine] accumulates exactly in
+    f32 (counts < 2^24), and the boundary array is its flat cumsum.
     """
-    nl = F.N_LIMBS
-    w_count, b = buckets.shape[2:]
-    b1 = 1
-    while b1 * b1 < b:
-        b1 *= 2
-    b2 = b // b1
-    bb = buckets.reshape(3, nl, w_count, b1, b2)
-    bb = jnp.moveaxis(bb, -1, 0)[::-1]  # (b2, 3, 18, W, b1), top first
+    w, n = mag.shape
+    fine = 128
+    coarse = -(-(b + 1) // fine)
+    chunk = min(2048, n)
+    assert n % chunk == 0
+    mg = jnp.moveaxis(mag.reshape(w, n // chunk, chunk), 1, 0)  # (K, W, ch)
+    f_iota = jnp.arange(fine, dtype=jnp.uint32)
+    c_iota = jnp.arange(coarse, dtype=jnp.uint32)
 
-    def suffix_body(carry, x):
-        r, v = carry
-        r = C.ec_add(r, x)
-        v = C.ec_add(v, r)
-        return (r, v), None
+    def body(hist, mg_k):
+        f_oh = ((mg_k[..., None] & (fine - 1)) == f_iota).astype(jnp.bfloat16)
+        c_oh = (mg_k[..., None] >> 7 == c_iota).astype(jnp.bfloat16)
+        part = jnp.einsum("wnc,wnf->wcf", c_oh, f_oh,
+                          preferred_element_type=jnp.float32)
+        return hist + part, None
 
-    ident = C.point_identity((w_count, b1))
-    (u, v), _ = jax.lax.scan(suffix_body, (ident, ident), bb)
-    # u[b1] = chunk totals, v[b1] = sum_{b2} (b2+1) S_{b1,b2}
-
-    uu = jnp.moveaxis(u, -1, 0)[::-1]  # (b1, 3, 18, W), top chunk first
-
-    def outer_body(carry, x):
-        r, t = carry
-        t = C.ec_add(t, r)  # weight = b1 index (0-based): add r BEFORE x
-        r = C.ec_add(r, x)
-        return (r, t), None
-
-    ident_w = C.point_identity((w_count,))
-    (_, x_sum), _ = jax.lax.scan(outer_body, (ident_w, ident_w), uu)
-    # x_sum = sum_{b1} b1 * U_{b1}
-    for _ in range(b2.bit_length() - 1):
-        x_sum = C.ec_add(x_sum, x_sum)  # * B2
-
-    # total V: pair-fold tree over b1 (v is (3, 18, W, b1))
-    k = b1
-    while k > 1:
-        v = C.ec_add(v[..., : k // 2], v[..., k // 2 : k])
-        k //= 2
-    return C.ec_add(x_sum, v[..., 0])  # (3, 18, W)
+    hist = jnp.zeros((w, coarse, fine), jnp.float32)
+    hist, _ = jax.lax.scan(body, hist, mg)
+    e = jnp.cumsum(hist.reshape(w, coarse * fine), axis=-1)
+    return e[:, : b + 1].astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("c", "steps"))
@@ -459,15 +456,27 @@ def msm_window_sums(points_xy: jax.Array, scalar_limbs: jax.Array,
     w_count = sdigits.shape[0]
     b = 1 << (c - 1)
 
-    sorted_pts, sorted_mag = _sorted_window_inputs(points_xy, sdigits)
-    prefix, chunk_excl = _chunked_prefix_scan(sorted_pts, steps)
+    packed, _sorted_sign, _sorted_mag = _sorted_window_inputs(
+        points_xy, sdigits)
+    prefix, chunk_excl = _chunked_prefix_scan(packed, steps)
     # run boundaries: E_m = #elements with magnitude < m, for m = 1..B+1
-    targets = jnp.arange(1, b + 2, dtype=jnp.uint32)
-    bounds = jax.vmap(lambda row: jnp.searchsorted(row, targets))(
-        sorted_mag).astype(jnp.uint32)  # (W, B+1)
+    bounds = _bucket_boundaries(jnp.abs(sdigits).astype(jnp.uint32), b)
     s_at = _boundary_prefix(prefix, chunk_excl, bounds)  # (3, 18, W, B+1)
-    buckets = C.ec_add(s_at[..., 1:], C.ec_neg(s_at[..., :-1]))
-    return _weighted_window_sums(buckets)
+    # Abel summation: with P_m = prefix at boundary E_m (s_at[m-1]) and
+    # bucket m = P_{m+1} - P_m,
+    #   T_w = sum_m m * bucket_m = B * P_{B+1} - sum_{m=1..B} P_m
+    # — no bucket differences and no weighted suffix machinery: one
+    # log-depth pair-fold of the B boundary points plus log2(B) doublings
+    # (~3x fewer EC adds than diff + two-level weighted suffix scans).
+    top = s_at[..., -1]
+    for _ in range(b.bit_length() - 1):
+        top = C.ec_add(top, top)  # * B (B = 2^(c-1))
+    rest = s_at[..., :-1]
+    k = b
+    while k > 1:
+        rest = C.ec_add(rest[..., : k // 2], rest[..., k // 2 : k])
+        k //= 2
+    return C.ec_add(top, C.ec_neg(rest[..., 0]))
 
 
 def fold_windows_host(window_sums, c: int):

@@ -76,21 +76,29 @@ class EvmRunner:
         return r
 
     def create(self, artifact, address: int | None = None) -> int:
-        """Deploy ``artifact`` (any callable-bearing object) at an address.
+        """Deploy ``artifact`` at an address.
 
-        Enforces the 96 kB contract-size limit on the artifact's source —
-        the analog of evm_runner.rs:95-104's bytecode-length gate (the
-        generated verifiers are the only artifacts near the limit).
+        Accepts any callable-bearing Python object OR a parsed
+        ``sol_interp.SolContract`` (the committed .sol text, executed by
+        the interpreter with real gas metering).  Enforces the 96 kB
+        contract-size limit on the artifact's source — the analog of
+        evm_runner.rs:95-104's bytecode-length gate (the generated
+        verifiers are the only artifacts near the limit).
         """
-        try:
-            size = len(inspect.getsource(type(artifact)).encode())
-        except (OSError, TypeError):
-            size = 0
-        if inspect.ismodule(artifact):
+        from . import sol_interp
+
+        if isinstance(artifact, sol_interp.SolContract):
+            size = artifact.source_size
+        else:
             try:
-                size = len(inspect.getsource(artifact).encode())
-            except OSError:
+                size = len(inspect.getsource(type(artifact)).encode())
+            except (OSError, TypeError):
                 size = 0
+            if inspect.ismodule(artifact):
+                try:
+                    size = len(inspect.getsource(artifact).encode())
+                except OSError:
+                    size = 0
         if size > MAX_CODE_SIZE:
             raise DeployError(f"contract size {size} exceeds {MAX_CODE_SIZE}")
         if address is None:
@@ -103,11 +111,19 @@ class EvmRunner:
 
     def _execute(self, target, address: int, method: str, args, kwargs,
                  caller: int | None, value: int):
+        from . import sol_interp
+
         if address == REVERTING_ADDRESS:
             raise Revert("REVERTING_ADDRESS")
-        fn = getattr(target, method, None)
-        if fn is None:
-            raise Revert(f"unknown method {method}")
+        if isinstance(target, sol_interp.SolContract):
+            # interpreted .sol artifact: execute the text, meter real gas
+            if method not in target.funcs:
+                raise Revert(f"unknown method {method}")
+            try:
+                out, gas = target.call(method, *args)
+            except sol_interp.SolRevert as e:
+                raise Revert(str(e) or "SolRevert") from e
+            return out, gas
         # keep the sim's clock in step with ours (ShielderSim meters gas
         # and registers nullifiers against its own block_number)
         if isinstance(target, contract_mod.ShielderSim):
