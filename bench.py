@@ -39,7 +39,7 @@ from zkos_tpu.ops import ntt as NTT  # noqa: E402
 from zkos_tpu.ops import poseidon2 as P2  # noqa: E402
 
 MSM_LOG_N = 20
-MSM_C = 13
+MSM_C = 16  # W=16 windows; profiled fastest on v5e (profile_msm.py)
 POSEIDON_LOG_B = 16
 BASELINE_MSM_PTS_PER_S = 1.0e6
 BASELINE_PROVE_MS = 700.0  # reference 600-800 ms midpoint

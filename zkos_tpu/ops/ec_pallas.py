@@ -140,7 +140,10 @@ def _prefix_kernel(xs_ref, out_ref, acc_ref):
     nx, ny, nz = ec_add_mixed_rows(acc[0], acc[1], acc[2], x2, y2)
     new = jnp.stack([nx, ny, nz], axis=0)
     acc_ref[...] = new
-    out_ref[0] = new
+    # emit row-major (lane, 1, 3, 18): the boundary phase gathers whole
+    # 216-byte rows by (lane, step), so the transpose happens here in VMEM
+    # instead of a full-array HBM relayout afterwards
+    out_ref[...] = jnp.transpose(new, (2, 0, 1))[:, None]
 
 
 def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
@@ -149,11 +152,11 @@ def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
 
     xs: (M, 18, LANES) 72-byte packed affine rows (canonical limbs, two
     per u32 word; bit 31 of word 0 = digit sign — y negated in-kernel).
-    LANES % tile == 0.  Returns (M, 3, 18, LANES) running sums per lane
-    (lane l's chunk is column l across the M steps).  Equals lax.scan of
-    curve.ec_add_mixed over the unpacked, sign-applied points —
-    unpack/negate run in VMEM, halving the kernel's HBM input stream vs
-    unpacked (2, 18) coordinates.
+    LANES % tile == 0.  Returns (LANES, M, 3, 18) running sums in
+    row-major point rows (lane l's chunk is row block l across the M
+    steps).  Equals lax.scan of curve.ec_add_mixed over the unpacked,
+    sign-applied points — unpack/negate/transpose run in VMEM, halving
+    the kernel's HBM input stream vs unpacked (2, 18) coordinates.
     """
     m_steps, nl, lanes = xs.shape
     assert lanes % tile == 0
@@ -163,10 +166,10 @@ def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
         in_specs=[pl.BlockSpec((1, nl, tile),
                                lambda t, m: (m, 0, t),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 3, nl, tile),
-                               lambda t, m: (m, 0, 0, t),
+        out_specs=pl.BlockSpec((tile, 1, 3, nl),
+                               lambda t, m: (t, m, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_steps, 3, nl, lanes), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((lanes, m_steps, 3, nl), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((3, nl, tile), jnp.uint32)],
         interpret=interpret,
     )(xs)

@@ -290,8 +290,10 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
     packed: (18, W, N) 72-byte rows with the digit sign in word 0 bit 31.
     Lane l of window w owns the contiguous slice [l*M, (l+1)*M) with
     M = steps.  Returns
-    (prefix (M, 3, 18, W, L) inclusive within-chunk prefixes,
-     chunk_excl (3, 18, W, L) exclusive EC prefix over whole chunks).
+    (prefix_rows (W*L, M, 3, 18) inclusive within-chunk prefixes as
+     row-major 216-byte point rows — the layout the boundary gather wants,
+     emitted directly by the kernel so no HBM relayout is ever paid —
+     and chunk_excl (3, 18, W, L), the exclusive EC prefix over chunks).
 
     On TPU the scan runs as the Pallas kernel (ops.ec_pallas), which keeps
     the accumulator in VMEM across the M sequential steps and unpacks the
@@ -309,10 +311,10 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
     if _use_pallas() and flat_lanes % tile == 0:
         from . import ec_pallas as EP
 
-        pref_flat = EP.prefix_scan_pallas(
-            xs.reshape(m, nl, flat_lanes), tile=tile)
-        prefix = pref_flat.reshape(m, 3, nl, w_count, lanes)
-        totals = prefix[-1]
+        prefix_rows = EP.prefix_scan_pallas(
+            xs.reshape(m, nl, flat_lanes), tile=tile)  # (W*L, M, 3, 18)
+        totals = jnp.transpose(
+            prefix_rows[:, -1], (1, 2, 0)).reshape(3, nl, w_count, lanes)
     else:
         from . import ec_pallas as EP
 
@@ -324,6 +326,8 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
 
         totals, prefix = jax.lax.scan(
             body, C.point_identity((w_count, lanes)), xs)
+        prefix_rows = jnp.transpose(prefix, (3, 4, 0, 1, 2)).reshape(
+            w_count * lanes, m, 3, nl)
 
     # exclusive scan over the L chunk totals, two-level to stay work-efficient
     l1 = 1
@@ -354,33 +358,30 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
     chunk_excl = C.ec_add(jnp.repeat(cur, m1, axis=-1),
                           jnp.moveaxis(within_excl, 0, -1).reshape(
                               3, nl, w_count, lanes))
-    return prefix, chunk_excl
+    return prefix_rows, chunk_excl
 
 
-def _boundary_prefix(prefix: jax.Array, chunk_excl: jax.Array,
+def _boundary_prefix(prefix_rows: jax.Array, chunk_excl: jax.Array,
                      boundaries: jax.Array):
     """Global prefix values S(E-1) at run boundaries.
 
-    prefix: (M, 3, 18, W, L); chunk_excl: (3, 18, W, L);
-    boundaries: (W, B+1) uint32 element counts E (S(-1) = identity).
-    Returns (3, 18, W, B+1).
+    prefix_rows: (W*L, M, 3, 18) row-major point rows straight from the
+    scan kernel; chunk_excl: (3, 18, W, L); boundaries: (W, B+1) uint32
+    element counts E (S(-1) = identity).  Returns (3, 18, W, B+1).
+
+    ONE 216-byte row gather per boundary instead of 54 element gathers
+    (TPU gathers are row-bound; measured ~8x on the boundary phase at
+    2^19), with zero relayout — the kernel already emits this layout.
     """
-    m = prefix.shape[0]
+    m = prefix_rows.shape[1]
     nl, w_count, lanes = chunk_excl.shape[1:]
     j = jnp.maximum(boundaries, 1) - 1  # clamp; E==0 handled below
     lane = (j // m).astype(jnp.int32)
     pos = (j % m).astype(jnp.int32)
-    # Row-major view (W, M*L, 3*nl): ONE 216-byte row gather per boundary
-    # instead of 54 element gathers (TPU gathers are row-bound; measured
-    # ~8x on the boundary phase at 2^19).  The transpose streams the big
-    # prefix array once at full bandwidth.
-    rows = jnp.transpose(prefix, (3, 0, 4, 1, 2)).reshape(
-        w_count, m * lanes, 3 * nl)
-    # barrier: without it XLA fuses the transpose into the gather, which
-    # degenerates back into 54 element gathers per boundary
-    rows = jax.lax.optimization_barrier(rows)
-    fidx = pos * lanes + lane  # (W, B+1)
-    within = jax.vmap(lambda mat, ix: jnp.take(mat, ix, axis=0))(rows, fidx)
+    rows = prefix_rows.reshape(w_count * lanes * m, 3 * nl)
+    w_idx = jnp.arange(w_count, dtype=jnp.int32)[:, None]
+    fidx = (w_idx * lanes + lane) * m + pos  # (W, B+1) global row index
+    within = jnp.take(rows, fidx.reshape(-1), axis=0)
     within = jnp.transpose(
         within.reshape(w_count, -1, 3, nl), (2, 3, 0, 1))  # (3, nl, W, B+1)
     base_rows = jnp.transpose(chunk_excl, (2, 3, 0, 1)).reshape(
