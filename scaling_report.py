@@ -69,7 +69,7 @@ def report():
         # and resharding are one-time setup, not kernel scaling — timing
         # them was the round-2 2-device poseidon efficiency loss
         amat = jax.device_put(
-            jnp.asarray(amat_host), NamedSharding(mesh, P(DATA_AXIS, None, None)))
+            jnp.asarray(amat_host), NamedSharding(mesh, P(None, DATA_AXIS, None)))
         t = timeit(lambda: sharded.sharded_ntt_4step(mesh, amat))
         results["ntt_4step"][nd] = {
             "wall_ms": round(t * 1e3, 1),
