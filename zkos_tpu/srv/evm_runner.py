@@ -124,6 +124,9 @@ class EvmRunner:
             except sol_interp.SolRevert as e:
                 raise Revert(str(e) or "SolRevert") from e
             return out, gas
+        fn = getattr(target, method, None)
+        if fn is None or not callable(fn):
+            raise Revert(f"unknown method {method}")
         # keep the sim's clock in step with ours (ShielderSim meters gas
         # and registers nullifiers against its own block_number)
         if isinstance(target, contract_mod.ShielderSim):
