@@ -1,12 +1,29 @@
-"""Round benchmark — runs on the real TPU chip; prints ONE JSON line to stdout.
+"""Round benchmark — runs on the real TPU chip; prints JSON lines to stdout.
 
 North-star metrics (BASELINE.json / SURVEY.md §6), all on device:
 - msm_g1_points_per_s_2e20  (headline; vs 1.0e6 points/s CPU-rayon anchor)
 - poseidon2_hashes_per_s    (Pallas t=8 kernel, batch 2^16)
 - ntt_2e13_ms / ntt_2e24_ms (single-chip radix-2 over Fr)
 - deposit_prove_ms          (END-TO-END: real height-13/k=11 Shielder
-  deposit proof through the device engine, real ppot SRS; reference
-  baseline 600-800 ms client-side, README.md:37-41)
+  deposit proof through the device engine, committed pronto pk artifacts,
+  real ppot SRS; reference baseline 600-800 ms client-side,
+  README.md:37-41)
+
+Budget-safety (rounds 2 and 3 both lost their numbers to a single section
+overrunning the driver budget — VERDICT.md r03 "What's missing" #1):
+- a CUMULATIVE result line is printed after EVERY section, so whatever has
+  finished when the budget expires is recorded (the last line printed is
+  the most complete one);
+- sections run cheapest-first: poseidon2 -> ntt 2^13 -> MSM at the
+  last-known-good window width -> everything risky after that;
+- risky sections (MSM window-width experiment, ntt 2^24, the end-to-end
+  prove) each run in their OWN subprocess under a sub-budget computed from
+  what is left of ZKOS_BENCH_TOTAL_BUDGET, so a hung compile cannot take
+  the whole bench down with it;
+- the prove section loads the committed pronto ProvingKey
+  (artifacts/deposit_pk.bin via proof.serialize.unmarshall_pk) instead of
+  re-running keygen, exactly as the reference's `new_pronto` path does
+  (crates/shielder_bindings/src/circuits/mod.rs:89-101).
 
 Measurement notes (tunneled single-chip setup):
 - inputs are synthesized ON DEVICE from a scalar seed where possible;
@@ -21,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -39,14 +57,22 @@ from zkos_tpu.ops import ntt as NTT  # noqa: E402
 from zkos_tpu.ops import poseidon2 as P2  # noqa: E402
 
 MSM_LOG_N = 20
-MSM_C = 16  # W=16 windows; profiled fastest on v5e (profile_msm.py)
+MSM_C_SAFE = 13      # last config that completed a full bench (BENCH_r02)
+MSM_C_EXPERIMENT = 16  # profiled faster at 2^19 (profile_msm.py) — attempt
 POSEIDON_LOG_B = 16
 BASELINE_MSM_PTS_PER_S = 1.0e6
 BASELINE_PROVE_MS = 700.0  # reference 600-800 ms midpoint
 
+T_START = time.perf_counter()
+TOTAL_BUDGET = float(os.environ.get("ZKOS_BENCH_TOTAL_BUDGET", "3000"))
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def budget_left(reserve: float = 30.0) -> float:
+    return TOTAL_BUDGET - (time.perf_counter() - T_START) - reserve
 
 
 def timeit(fn, *args, iters=3):
@@ -80,7 +106,7 @@ def _seeded_limbs(seed, shape):
     return (x * (seed + np.uint32(12345))) & np.uint32(0x3FFF)
 
 
-def bench_msm() -> float:
+def bench_msm(c: int) -> float:
     n = 1 << MSM_LOG_N
     pts = device_points_affine(n)
     np.asarray(pts[0, 0, :4])
@@ -88,11 +114,11 @@ def bench_msm() -> float:
     @jax.jit
     def msm_run(seed, p):
         sc = _seeded_limbs(seed, (F.N_LIMBS, n))
-        return M.msm_window_sums(p, sc, c=MSM_C)
+        return M.msm_window_sums(p, sc, c=c)
 
-    t = timeit(msm_run, pts)
+    t = timeit(msm_run, pts, iters=2)
     pps = n / t
-    log(f"msm 2^{MSM_LOG_N} (c={MSM_C}, sorted prefix-scan + pallas): "
+    log(f"msm 2^{MSM_LOG_N} (c={c}, sorted prefix-scan + pallas): "
         f"{t*1e3:.1f} ms -> {pps:,.0f} points/s")
     return pps
 
@@ -126,35 +152,35 @@ def bench_ntt(log_n: int) -> float:
 
 
 def bench_deposit_prove() -> float | None:
-    """Real height-13 deposit proof, k=11 ppot SRS, device engine."""
+    """Real height-13 deposit proof, k=11 ppot SRS, device engine.
+
+    Uses the committed pronto ProvingKey (artifacts/deposit_pk.bin) so the
+    measured time is proving only — the reference's 600-800 ms number is
+    likewise measured with pre-baked `new_pronto` keys.
+    """
     try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tests"))
+        from test_artifacts import _deposit_knowledge  # noqa: PLC0415
+
         from zkos_tpu.models import shielder as sh
-        from zkos_tpu.protocol import contract, merkle, notes, secrets
-        from zkos_tpu.proof import srs as srs_mod
+        from zkos_tpu.proof import plonk, serialize, srs as srs_mod
 
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts")
+        meta = json.load(open(os.path.join(art, "deposit_meta.json")))
         t0 = time.perf_counter()
-        srs11 = srs_mod.read(k=11)
-        log(f"ppot k=11 SRS read: {time.perf_counter()-t0:.1f}s")
-        id_ = secrets.generate_user_id(777)
-        tree = merkle.MerkleTree(height=13)
-        nul = secrets.derive_nullifier(id_, 0)
-        idx = tree.add_note(notes.make_note(id_, nul, 1_000_000, 0))
-        path = merkle.path_to_matrix(tree.get_merkle_path(idx))
-        root = tree.get_merkle_path(idx)[-1]
-        pkn = sh.DepositProverKnowledge(
-            id=id_, nullifier_old=nul, account_old_balance=1_000_000,
-            token_address=0, path=path, value=77,
-            commitment=contract.deposit_commitment(0xAA, 0),
-            nullifier_new=secrets.derive_nullifier(id_, 1), mac_salt=2)
-        builder = sh.build_deposit(11, pkn)
+        srs11 = srs_mod.read(k=meta["k"])
+        log(f"ppot k={meta['k']} SRS read: {time.perf_counter()-t0:.1f}s")
+
+        pkn, root = _deposit_knowledge()
+        builder = sh.build_deposit(meta["k"], pkn)
+        cs = sh._cs_with_copies(meta["k"], builder)
+        t0 = time.perf_counter()
+        pk = serialize.unmarshall_pk(
+            open(os.path.join(art, "deposit_pk.bin"), "rb").read(), cs, srs11)
+        log(f"pronto pk load: {time.perf_counter()-t0:.1f}s")
         pub = pkn.public_input(root)
-
-        from zkos_tpu.proof import plonk
-
-        t0 = time.perf_counter()
-        cs = sh._cs_with_copies(11, builder)
-        pk, vk = plonk.keygen(cs, srs11, builder.fixed, engine="device")
-        log(f"device keygen (k=11): {time.perf_counter()-t0:.1f}s")
 
         import random as _random
 
@@ -170,8 +196,8 @@ def bench_deposit_prove() -> float | None:
                                 rng=_random.Random(8 + i), engine="device")
             times.append(time.perf_counter() - t0)
         t = min(times)
-        ok = plonk.verify(vk, proof, pub)
-        log(f"deposit prove (height 13, k=11, device): {t*1e3:.0f} ms, "
+        ok = plonk.verify(pk.vk, proof, pub)
+        log(f"deposit prove (height 13, k={meta['k']}, device): {t*1e3:.0f} ms, "
             f"verify={'OK' if ok else 'FAIL'} "
             f"(reference: 600-800 ms client-side)")
         assert ok
@@ -181,70 +207,96 @@ def bench_deposit_prove() -> float | None:
         return None
 
 
+def _sub(section: str, marker: str, min_budget: float,
+         cap: float) -> float | None:
+    """Run `python bench.py --<section>` in a budgeted subprocess; parse the
+    `<marker> <float>` line from its stdout.  Returns None on timeout,
+    crash, or insufficient remaining budget."""
+    left = budget_left()
+    budget = min(cap, left)
+    if budget < min_budget:
+        log(f"{section}: only {left:.0f}s of the {TOTAL_BUDGET:.0f}s total "
+            f"budget left; skipped this run")
+        return None
+    try:
+        sp = subprocess.run([sys.executable, __file__, f"--{section}"],
+                            capture_output=True, timeout=budget, text=True)
+        sys.stderr.write(sp.stderr)
+        for line in sp.stdout.splitlines():
+            if line.startswith(marker + " "):
+                return float(line.split()[1])
+        log(f"{section}: subprocess exited rc={sp.returncode} "
+            f"without a {marker} line")
+    except subprocess.TimeoutExpired:
+        log(f"{section}: exceeded {budget:.0f}s sub-budget; skipped this run")
+    return None
+
+
 def main() -> None:
-    t_start = time.perf_counter()
     dev = jax.devices()[0]
     log(f"bench device: {dev.platform} / {dev.device_kind}")
 
-    msm_pps = bench_msm()
-    poseidon = bench_poseidon()
-    ntt13 = bench_ntt(13)
-    ntt24 = None
-    if os.environ.get("ZKOS_BENCH_SKIP_NTT24") != "1":
-        try:
-            ntt24 = bench_ntt(24)
-        except Exception as e:  # noqa: BLE001
-            log(f"ntt 2^24 unavailable: {type(e).__name__}: {e}")
+    res: dict = {}
 
-    out = {
-        "metric": f"msm_g1_points_per_s_2e{MSM_LOG_N}",
-        "value": round(msm_pps, 1),
-        "unit": "points/s",
-        "vs_baseline": round(msm_pps / BASELINE_MSM_PTS_PER_S, 4),
-        "poseidon2_hashes_per_s": round(poseidon, 1),
-        "ntt_2e13_ms": round(ntt13, 2),
-    }
-    if ntt24 is not None:
-        out["ntt_2e24_ms"] = round(ntt24, 1)
-    # Emit the kernel metrics NOW: if the driver's budget expires during the
-    # prove section below, this round still records its perf numbers (round 2
-    # lost all metrics to exactly that, VERDICT.md "What's missing" #1).
-    print(json.dumps(out), flush=True)
-
-    prove_ms = None
-    if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
-        # run in a budgeted subprocess: the six phase graphs compile for
-        # many minutes on a cold cache, and a driver-side bench run must
-        # never hang past its budget (warm-cache runs take seconds).  The
-        # budget is the smaller of ZKOS_BENCH_PROVE_TIMEOUT and what is
-        # left of the total bench budget after the kernel sections.
-        import subprocess
-
-        total = float(os.environ.get("ZKOS_BENCH_TOTAL_BUDGET", "3000"))
-        left = total - (time.perf_counter() - t_start) - 30.0
-        budget = min(float(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400")),
-                     left)
-        if budget < 60:
-            log(f"deposit prove bench: only {left:.0f}s of the "
-                f"{total:.0f}s total budget left; skipped this run")
-        else:
-            try:
-                sp = subprocess.run(
-                    [sys.executable, __file__, "--prove-only"],
-                    capture_output=True, timeout=budget, text=True)
-                sys.stderr.write(sp.stderr)
-                for line in sp.stdout.splitlines():
-                    if line.startswith("PROVE_MS "):
-                        prove_ms = float(line.split()[1])
-            except subprocess.TimeoutExpired:
-                log(f"deposit prove bench: exceeded {budget:.0f}s budget "
-                    f"(cold compile cache); skipped this run")
-
-    if prove_ms is not None:
-        out["deposit_prove_ms"] = round(prove_ms, 1)
-        out["prove_vs_reference"] = round(BASELINE_PROVE_MS / prove_ms, 3)
-        # updated line (supersedes the kernel-only line above)
+    def emit() -> None:
+        """Print the cumulative result line (last printed line = the most
+        complete record; every line is a full, valid record)."""
+        out = {
+            "metric": f"msm_g1_points_per_s_2e{MSM_LOG_N}",
+            "value": res.get("msm", 0.0),
+            "unit": "points/s",
+            "vs_baseline": round(res.get("msm", 0.0) / BASELINE_MSM_PTS_PER_S,
+                                 4),
+        }
+        for k in ("msm_c", "poseidon2_hashes_per_s", "ntt_2e13_ms",
+                  "ntt_2e24_ms", "deposit_prove_ms", "prove_vs_reference"):
+            if k in res:
+                out[k] = res[k]
         print(json.dumps(out), flush=True)
+
+    # 1. cheap kernels first — numbers on the board within a few minutes
+    try:
+        res["poseidon2_hashes_per_s"] = round(bench_poseidon(), 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"poseidon bench failed: {type(e).__name__}: {e}")
+    emit()
+    try:
+        res["ntt_2e13_ms"] = round(bench_ntt(13), 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"ntt 2^13 bench failed: {type(e).__name__}: {e}")
+    emit()
+
+    # 2. MSM at the last-known-good window width (the headline metric)
+    try:
+        res["msm"] = round(bench_msm(MSM_C_SAFE), 1)
+        res["msm_c"] = MSM_C_SAFE
+    except Exception as e:  # noqa: BLE001
+        log(f"msm c={MSM_C_SAFE} bench failed: {type(e).__name__}: {e}")
+    emit()
+
+    # 3. risky sections, each in its own budgeted subprocess
+    if os.environ.get("ZKOS_BENCH_SKIP_MSM_EXP") != "1":
+        pps = _sub("msm-experiment", "MSM_PPS", min_budget=60, cap=900)
+        if pps is not None and pps > res.get("msm", 0.0):
+            res["msm"] = round(pps, 1)
+            res["msm_c"] = MSM_C_EXPERIMENT
+            emit()
+
+    if os.environ.get("ZKOS_BENCH_SKIP_NTT24") != "1":
+        ms = _sub("ntt24-only", "NTT24_MS", min_budget=60, cap=900)
+        if ms is not None:
+            res["ntt_2e24_ms"] = round(ms, 1)
+            emit()
+
+    if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
+        cap = float(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400"))
+        ms = _sub("prove-only", "PROVE_MS", min_budget=60, cap=cap)
+        if ms is not None:
+            res["deposit_prove_ms"] = round(ms, 1)
+            res["prove_vs_reference"] = round(BASELINE_PROVE_MS / ms, 3)
+            emit()
+
+    emit()
 
 
 if __name__ == "__main__":
@@ -252,5 +304,9 @@ if __name__ == "__main__":
         ms = bench_deposit_prove()
         if ms is not None:
             print(f"PROVE_MS {ms}")
+    elif "--msm-experiment" in sys.argv:
+        print(f"MSM_PPS {bench_msm(MSM_C_EXPERIMENT)}")
+    elif "--ntt24-only" in sys.argv:
+        print(f"NTT24_MS {bench_ntt(24)}")
     else:
         main()

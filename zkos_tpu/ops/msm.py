@@ -405,9 +405,15 @@ def _bucket_boundaries(mag: jax.Array, b: int) -> jax.Array:
     """
     w, n = mag.shape
     fine = 128
-    coarse = -(-(b + 1) // fine)
     chunk = min(2048, n)
-    assert n % chunk == 0
+    pad = (-n) % chunk
+    if pad:
+        # sentinel b+1 lands at flat slot b+1, outside the e[:, :b+1] slice,
+        # so padded rows never affect any boundary count
+        mag = jnp.concatenate(
+            [mag, jnp.full((w, pad), b + 1, mag.dtype)], axis=1)
+        n += pad
+    coarse = -(-(b + 2) // fine)
     mg = jnp.moveaxis(mag.reshape(w, n // chunk, chunk), 1, 0)  # (K, W, ch)
     f_iota = jnp.arange(fine, dtype=jnp.uint32)
     c_iota = jnp.arange(coarse, dtype=jnp.uint32)

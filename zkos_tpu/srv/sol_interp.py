@@ -853,8 +853,11 @@ class SolContract:
             r = a + b
         elif op == "-":
             r = a - b
-            if r < 0 and a >= 0 and b >= 0 and (a >= WORD // 2 or b >= WORD // 2
-                                                or max(a, b) > (1 << 130)):
+            # solc 0.8 checked arithmetic: uint256 underflow is a Panic.
+            # Negative operands can only originate from int256 expressions
+            # (negative literals / unary minus, e.g. ROT_LAST), where a
+            # negative result is legitimate signed arithmetic.
+            if r < 0 and a >= 0 and b >= 0:
                 raise SolPanic("uint256 underflow")
         elif op == "*":
             r = a * b
@@ -1054,7 +1057,12 @@ class SolContract:
     def _read_g1(x: int, y: int):
         if x == 0 and y == 0:
             return None
-        pt = (x % Q, y % Q)
+        # EIP-196/197 input validation: coordinates >= p are an invalid
+        # encoding and the precompile fails — reducing mod p here would
+        # accept non-canonical (malleable) proof encodings revm rejects.
+        if x >= Q or y >= Q:
+            raise ValueError("coordinate out of range")  # precompile failure
+        pt = (x, y)
         if not CG.is_on_curve(pt):
             raise ValueError("not on curve")  # precompile failure
         return pt
