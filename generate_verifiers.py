@@ -61,6 +61,12 @@ def main():
     with open(p2_path, "w") as f:
         f.write(poseidon2_sol.render())
     print(f"Poseidon2T8Assembly: sol={os.path.getsize(p2_path)}B", flush=True)
+    # protocol contracts (Shielder.sol / MerkleTree.sol twins)
+    from zkos_tpu.proof import contracts_sol
+
+    for path in contracts_sol.generate_contracts(OUT):
+        print(f"{os.path.basename(path)}: sol={os.path.getsize(path)}B",
+              flush=True)
     engine = sys.argv[1] if len(sys.argv) > 1 else "host"
     for name, build in _examples(contract.consts.TREE_HEIGHT):
         t0 = time.time()

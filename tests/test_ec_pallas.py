@@ -48,7 +48,10 @@ def test_prefix_scan_pallas_interpret_matches_golden(rng):
     xs = jnp.asarray(packed.reshape(m_steps, lanes, 18).transpose(0, 2, 1))
 
     out = EP.prefix_scan_pallas(xs, tile=tile, interpret=True)
-    assert out.shape == (lanes, m_steps, 3, 18)
+    assert out.shape == (m_steps * EP.ROW_PAD, lanes)
+    out = np.asarray(out).T.reshape(lanes, m_steps, EP.ROW_PAD)
+    assert (out[:, :, 54:] == 0).all()  # alignment rows stay zero
+    out = out[:, :, :54].reshape(lanes, m_steps, 3, 18)
 
     for lane in range(lanes):
         acc = None  # golden running sum over this lane's chunk

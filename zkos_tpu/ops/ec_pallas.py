@@ -140,10 +140,19 @@ def _prefix_kernel(xs_ref, out_ref, acc_ref):
     nx, ny, nz = ec_add_mixed_rows(acc[0], acc[1], acc[2], x2, y2)
     new = jnp.stack([nx, ny, nz], axis=0)
     acc_ref[...] = new
-    # emit row-major (lane, 1, 3, 18): the boundary phase gathers whole
-    # 216-byte rows by (lane, step), so the transpose happens here in VMEM
-    # instead of a full-array HBM relayout afterwards
-    out_ref[...] = jnp.transpose(new, (2, 0, 1))[:, None]
+    # emit a (ROW_PAD, tile) block per step: 54 limb rows (x|y|z) plus two
+    # zero rows so the block's sublane dim is 8-aligned — Mosaic requires
+    # minor block dims (8, 128)-aligned, and ROW_PAD*M x LANES allocates
+    # with ZERO tile padding (a (..., 3, 18)-minor layout pads 9.5x and
+    # OOMed 2^20 MSMs in round 3)
+    tile = new.shape[-1]
+    out_ref[...] = jnp.concatenate(
+        [nx, ny, nz, jnp.zeros((ROW_PAD - 3 * _N, tile), jnp.uint32)],
+        axis=0)
+
+
+#: rows per scan step in the kernel output: 54 limb rows + 2 alignment rows
+ROW_PAD = 56
 
 
 def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
@@ -152,11 +161,13 @@ def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
 
     xs: (M, 18, LANES) 72-byte packed affine rows (canonical limbs, two
     per u32 word; bit 31 of word 0 = digit sign — y negated in-kernel).
-    LANES % tile == 0.  Returns (LANES, M, 3, 18) running sums in
-    row-major point rows (lane l's chunk is row block l across the M
-    steps).  Equals lax.scan of curve.ec_add_mixed over the unpacked,
-    sign-applied points — unpack/negate/transpose run in VMEM, halving
-    the kernel's HBM input stream vs unpacked (2, 18) coordinates.
+    LANES % tile == 0.  Returns (M*56, LANES): step m's running sum for
+    lane l lives at [m*56 : m*56+54, l] as (x|y|z limbs) with rows
+    m*56+54..55 zero.  Both minor dims are (8, 128)-aligned, so the HBM
+    allocation carries no tile padding at all (3.7% from the alignment
+    rows).  Equals lax.scan of curve.ec_add_mixed over the unpacked,
+    sign-applied points — unpack/negate run in VMEM, halving the
+    kernel's HBM input stream vs unpacked (2, 18) coordinates.
     """
     m_steps, nl, lanes = xs.shape
     assert lanes % tile == 0
@@ -166,10 +177,11 @@ def prefix_scan_pallas(xs: jax.Array, tile: int = 512,
         in_specs=[pl.BlockSpec((1, nl, tile),
                                lambda t, m: (m, 0, t),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((tile, 1, 3, nl),
-                               lambda t, m: (t, m, 0, 0),
+        out_specs=pl.BlockSpec((ROW_PAD, tile),
+                               lambda t, m: (m, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lanes, m_steps, 3, nl), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((m_steps * ROW_PAD, lanes),
+                                       jnp.uint32),
         scratch_shapes=[pltpu.VMEM((3, nl, tile), jnp.uint32)],
         interpret=interpret,
     )(xs)

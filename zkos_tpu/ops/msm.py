@@ -290,9 +290,13 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
     packed: (18, W, N) 72-byte rows with the digit sign in word 0 bit 31.
     Lane l of window w owns the contiguous slice [l*M, (l+1)*M) with
     M = steps.  Returns
-    (prefix_rows (W*L, M, 3, 18) inclusive within-chunk prefixes as
-     row-major 216-byte point rows — the layout the boundary gather wants,
-     emitted directly by the kernel so no HBM relayout is ever paid —
+    (prefix_rows (W*L, M*56) inclusive within-chunk prefixes as
+     216-byte (x|y|z limb) rows at [chunk, m*56 : m*56+54] (2 zero
+     alignment columns per step) — the layout the boundary gather reads
+     with one contiguous (1, 54) slice per boundary.  The kernel emits
+     (M*56, LANES) with zero tile padding and one XLA transpose lands
+     this layout (~2 HBM passes; the r3 (..., 3, 18)-minor layout
+     tile-padded 9.5x and OOMed 2^20 MSMs) —
      and chunk_excl (3, 18, W, L), the exclusive EC prefix over chunks).
 
     On TPU the scan runs as the Pallas kernel (ops.ec_pallas), which keeps
@@ -308,13 +312,13 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
 
     flat_lanes = w_count * lanes
     tile = 512
+    rp = 56  # ec_pallas.ROW_PAD
     if _use_pallas() and flat_lanes % tile == 0:
         from . import ec_pallas as EP
 
-        prefix_rows = EP.prefix_scan_pallas(
-            xs.reshape(m, nl, flat_lanes), tile=tile)  # (W*L, M, 3, 18)
-        totals = jnp.transpose(
-            prefix_rows[:, -1], (1, 2, 0)).reshape(3, nl, w_count, lanes)
+        raw = EP.prefix_scan_pallas(
+            xs.reshape(m, nl, flat_lanes), tile=tile)  # (M*56, W*L)
+        prefix_rows = jnp.transpose(raw, (1, 0))       # (W*L, M*56)
     else:
         from . import ec_pallas as EP
 
@@ -324,10 +328,18 @@ def _chunked_prefix_scan(packed: jax.Array, steps: int):
             acc = C.ec_add_mixed(acc, jnp.stack([px, py], axis=0))
             return acc, acc
 
-        totals, prefix = jax.lax.scan(
+        _totals, prefix = jax.lax.scan(
             body, C.point_identity((w_count, lanes)), xs)
-        prefix_rows = jnp.transpose(prefix, (3, 4, 0, 1, 2)).reshape(
-            w_count * lanes, m, 3, nl)
+        # (M, 3, 18, W, L) -> (W*L, M, 54) -> pad to 56 -> (W*L, M*56)
+        p = jnp.transpose(prefix, (3, 4, 0, 1, 2)).reshape(
+            w_count * lanes, m, 3 * nl)
+        p = jnp.concatenate(
+            [p, jnp.zeros((w_count * lanes, m, rp - 3 * nl), jnp.uint32)],
+            axis=-1)
+        prefix_rows = p.reshape(w_count * lanes, m * rp)
+    totals = jnp.transpose(
+        prefix_rows[:, (m - 1) * rp : (m - 1) * rp + 3 * nl].reshape(
+            w_count, lanes, 3, nl), (2, 3, 0, 1))
 
     # exclusive scan over the L chunk totals, two-level to stay work-efficient
     l1 = 1
@@ -365,23 +377,31 @@ def _boundary_prefix(prefix_rows: jax.Array, chunk_excl: jax.Array,
                      boundaries: jax.Array):
     """Global prefix values S(E-1) at run boundaries.
 
-    prefix_rows: (W*L, M, 3, 18) row-major point rows straight from the
-    scan kernel; chunk_excl: (3, 18, W, L); boundaries: (W, B+1) uint32
-    element counts E (S(-1) = identity).  Returns (3, 18, W, B+1).
+    prefix_rows: (W*L, M*56) point rows from the scan (54 limb columns +
+    2 alignment columns per step); chunk_excl: (3, 18, W, L);
+    boundaries: (W, B+1) uint32 element counts E (S(-1) = identity).
+    Returns (3, 18, W, B+1).
 
-    ONE 216-byte row gather per boundary instead of 54 element gathers
-    (TPU gathers are row-bound; measured ~8x on the boundary phase at
-    2^19), with zero relayout — the kernel already emits this layout.
+    ONE contiguous 216-byte (1, 54) gather slice per boundary instead of
+    54 element gathers (TPU gathers are row-bound; measured ~8x on the
+    boundary phase at 2^19).
     """
-    m = prefix_rows.shape[1]
+    from .ec_pallas import ROW_PAD
+
     nl, w_count, lanes = chunk_excl.shape[1:]
+    m = prefix_rows.shape[1] // ROW_PAD
     j = jnp.maximum(boundaries, 1) - 1  # clamp; E==0 handled below
     lane = (j // m).astype(jnp.int32)
     pos = (j % m).astype(jnp.int32)
-    rows = prefix_rows.reshape(w_count * lanes * m, 3 * nl)
     w_idx = jnp.arange(w_count, dtype=jnp.int32)[:, None]
-    fidx = (w_idx * lanes + lane) * m + pos  # (W, B+1) global row index
-    within = jnp.take(rows, fidx.reshape(-1), axis=0)
+    start = jnp.stack([(w_idx * lanes + lane).reshape(-1),
+                       (pos * ROW_PAD).reshape(-1)], axis=-1)
+    within = jax.lax.gather(
+        prefix_rows, start,
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1)),
+        slice_sizes=(1, 3 * nl), mode=jax.lax.GatherScatterMode.CLIP)
     within = jnp.transpose(
         within.reshape(w_count, -1, 3, nl), (2, 3, 0, 1))  # (3, nl, W, B+1)
     base_rows = jnp.transpose(chunk_excl, (2, 3, 0, 1)).reshape(

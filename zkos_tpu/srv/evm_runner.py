@@ -62,9 +62,13 @@ class ArbSys:
 
 @dataclass
 class EvmRunner:
-    """Deploy/call/dry_run over addressed Python contract objects."""
+    """Deploy/call/dry_run over addressed Python contract objects AND
+    interpreted .sol contracts (sol_interp.SolContract), with a native
+    balance ledger, atomic revert rollback, and cross-contract dispatch
+    (interface calls / native sends) between deployed artifacts."""
 
     contracts: dict = dc_field(default_factory=dict)
+    balances: dict = dc_field(default_factory=dict)  # address -> wei
     block_number: int = 1
     next_address: int = 0x1000
 
@@ -74,6 +78,64 @@ class EvmRunner:
         r = cls()
         r.contracts[ARBSYS_ADDRESS] = ArbSys(r)
         return r
+
+    # -- cross-contract dispatch (sol_interp extcall hook) --
+
+    def fund(self, address: int, amount: int) -> None:
+        self.balances[address] = self.balances.get(address, 0) + amount
+
+    def _transfer_native(self, frm: int, to: int, amount: int) -> bool:
+        if to == REVERTING_ADDRESS:
+            return False  # PUSH1 0 DUP1 REVERT (deploy.rs:62-65)
+        if self.balances.get(frm, 0) < amount:
+            return False
+        self.balances[frm] = self.balances.get(frm, 0) - amount
+        self.balances[to] = self.balances.get(to, 0) + amount
+        return True
+
+    def extcall(self, src_addr: int):
+        """The (addr, method, args, value) -> (ok, ret, gas) hook wired
+        into deployed SolContracts."""
+        from . import sol_interp
+
+        def do(addr, method, args, value):
+            if method == "__balance__":
+                return True, self.balances.get(addr, 0), 100
+            if method == "__send__":
+                if value == 0 and addr != REVERTING_ADDRESS:
+                    return True, b"", 0
+                ok = self._transfer_native(src_addr, addr, value)
+                return ok, b"", 0
+            target = self.contracts.get(addr)
+            if target is None or addr == REVERTING_ADDRESS:
+                return False, b"no code", 0
+            if value and not self._transfer_native(src_addr, addr, value):
+                return False, b"insufficient balance", 0
+            try:
+                if isinstance(target, sol_interp.SolContract):
+                    self._wire(target, addr)
+                    out, gas = target.call(method, *args, meter_tx=False,
+                                           sender=src_addr, value=value)
+                    return True, out, gas
+                fn = getattr(target, method, None)
+                if fn is None:
+                    return False, f"unknown method {method}".encode(), 0
+                if "sender" in inspect.signature(fn).parameters:
+                    out = fn(*args, sender=src_addr)
+                else:
+                    out = fn(*args)
+                gas = getattr(target, "sol_gas", {}).get(method, 0)
+                return True, out, gas
+            except sol_interp.SolRevert as e:
+                return False, str(e).encode(), 0
+
+        return do
+
+    def _wire(self, c, address: int) -> None:
+        """Attach runner context to a deployed SolContract."""
+        c.address = address
+        c.block_number = self.block_number
+        c.extcall = self.extcall(address)
 
     def create(self, artifact, address: int | None = None) -> int:
         """Deploy ``artifact`` at an address.
@@ -119,8 +181,15 @@ class EvmRunner:
             # interpreted .sol artifact: execute the text, meter real gas
             if method not in target.funcs:
                 raise Revert(f"unknown method {method}")
+            self._wire(target, address)
+            if value:
+                # tx value is credited to the callee up front (the EOA's
+                # funds are out of scope for the harness ledger)
+                self.balances[address] = \
+                    self.balances.get(address, 0) + value
             try:
-                out, gas = target.call(method, *args)
+                out, gas = target.call(method, *args, sender=caller or 0,
+                                       value=value)
             except sol_interp.SolRevert as e:
                 raise Revert(str(e) or "SolRevert") from e
             return out, gas
@@ -143,18 +212,56 @@ class EvmRunner:
             gas = contract_mod.GAS_BASE_TX
         return out, gas
 
+    # -- tx-atomic state snapshot (an EVM revert rolls back EVERYTHING;
+    #    the interpreter itself has no journal, so the runner provides the
+    #    transaction boundary semantics of revm)
+
+    def _snapshot(self):
+        from . import sol_interp
+
+        state = {}
+        for addr, target in self.contracts.items():
+            if isinstance(target, sol_interp.SolContract):
+                state[addr] = ("sol", copy.deepcopy(target.storage),
+                               list(target.logs))
+            elif isinstance(target, ArbSys) or inspect.ismodule(target) \
+                    or not hasattr(target, "__dict__"):
+                continue  # stateless / runner-backed
+            else:
+                # snapshot attributes, restore IN PLACE so outside handles
+                # to the deployed object stay valid
+                state[addr] = ("obj", copy.deepcopy(target.__dict__))
+        return state, dict(self.balances), self.block_number
+
+    def _restore(self, snap):
+        state, balances, block_number = snap
+        for addr, entry in state.items():
+            if entry[0] == "sol":
+                self.contracts[addr].storage = entry[1]
+                self.contracts[addr].logs = entry[2]
+            else:
+                obj = self.contracts[addr]
+                obj.__dict__.clear()
+                obj.__dict__.update(entry[1])
+        self.balances = balances
+        self.block_number = block_number
+
     def call(self, address: int, method: str, *args, caller: int | None = None,
              value: int = 0, **kwargs) -> CallResult:
-        """State-mutating call; advances the block (evm_runner.rs:106-127)."""
+        """State-mutating call; advances the block (evm_runner.rs:106-127).
+        A revert rolls the whole transaction back (state + ledger)."""
         target = self.contracts.get(address)
         if target is None:
             raise Revert(f"no code at {address:#x}")
+        snap = self._snapshot()
         try:
             out, gas = self._execute(target, address, method, args, kwargs,
                                      caller, value)
         except Revert:
+            self._restore(snap)
             raise
         except (contract_mod.ShielderError, ValueError, AssertionError) as e:
+            self._restore(snap)
             raise Revert(str(e) or type(e).__name__) from e
         self.block_number += 1
         return CallResult(output=out, gas_used=gas)
@@ -162,19 +269,20 @@ class EvmRunner:
     def dry_run(self, address: int, method: str, *args,
                 caller: int | None = None, value: int = 0,
                 **kwargs) -> CallResult:
-        """EstimateGas semantics: execute on a snapshot, discard the state
+        """EstimateGas semantics: execute, then discard ALL state changes
         (evm_runner.rs:129-149; shielder-contract CallType::DryRun)."""
         target = self.contracts.get(address)
         if target is None:
             raise Revert(f"no code at {address:#x}")
-        snap = copy.deepcopy(target)
-        if isinstance(snap, ArbSys):
-            snap.runner = self
+        snap = self._snapshot()
         try:
-            out, gas = self._execute(snap, address, method, args, kwargs,
+            out, gas = self._execute(target, address, method, args, kwargs,
                                      caller, value)
         except Revert:
+            self._restore(snap)
             raise
         except (contract_mod.ShielderError, ValueError, AssertionError) as e:
+            self._restore(snap)
             raise Revert(str(e) or type(e).__name__) from e
+        self._restore(snap)
         return CallResult(output=out, gas_used=gas)

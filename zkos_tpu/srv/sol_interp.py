@@ -158,12 +158,27 @@ class Parser:
     # -- top level
     def parse_contract(self, structs: dict):
         consts, funcs = {}, {}
+        self.storage_decls = []   # [(type, name, init_expr_or_None)]
+        self.events = {}          # name -> [(type, pname)]
+        self.errors = set()
+        self.interfaces = set()
         name = None
         while self.peek()[0] != "eof":
             k, v = self.peek()
             if v == "pragma":
                 while self.next()[1] != ";":
                     pass
+            elif v == "interface":
+                # record the name, skip the body (interface calls dispatch
+                # through the runner's address table, not these decls)
+                self.next()
+                self.interfaces.add(self.next()[1])
+                self.expect("{")
+                depth = 1
+                while depth:
+                    t = self.next()[1]
+                    depth += t == "{"
+                    depth -= t == "}"
             elif v == "contract":
                 self.next()
                 name = self.next()[1]
@@ -176,6 +191,32 @@ class Parser:
 
     def parse_member(self, consts, funcs, structs):
         k, v = self.peek()
+        if v == "event":
+            self.next()
+            ename = self.next()[1]
+            self.expect("(")
+            params = []
+            while not self.accept(")"):
+                ptype = self.parse_type()
+                if self.peek()[1] == "indexed":
+                    self.next()
+                params.append((ptype, self.next()[1]))
+                self.accept(",")
+            self.expect(";")
+            self.events[ename] = params
+            return
+        if v == "error":
+            self.next()
+            ename = self.next()[1]
+            self.expect("(")
+            while not self.accept(")"):
+                self.parse_type()
+                if self.peek()[1] not in (",", ")"):
+                    self.next()
+                self.accept(",")
+            self.expect(";")
+            self.errors.add(ename)
+            return
         if v == "struct":
             self.next()
             sname = self.next()[1]
@@ -202,9 +243,9 @@ class Parser:
             rets = []
             while True:
                 _, m = self.peek()
-                if m in ("internal", "pure", "view", "public", "private"):
+                if m in ("internal", "pure", "view", "private", "payable"):
                     self.next()
-                elif m == "external":
+                elif m in ("external", "public"):
                     external = True
                     self.next()
                 elif m == "returns":
@@ -223,17 +264,35 @@ class Parser:
             funcs[fname] = FunctionDef(fname, params, rets, body, external)
             return
         # constant:  uint256 internal constant NAME = expr;
+        # state var: uint256 private name;  /  mapping(uint256 => T) name;
         ctype = self.parse_type()
         mods = []
-        while self.peek()[1] in ("internal", "constant", "public", "private"):
+        while self.peek()[1] in ("internal", "constant", "public", "private",
+                                 "immutable"):
             mods.append(self.next()[1])
         cname = self.next()[1]
-        self.expect("=")
-        e = self.parse_expr()
+        if "constant" in mods:
+            self.expect("=")
+            e = self.parse_expr()
+            self.expect(";")
+            consts[cname] = (ctype, e)
+            return
+        init = None
+        if self.accept("="):
+            init = self.parse_expr()
         self.expect(";")
-        consts[cname] = (ctype, e)
+        self.storage_decls.append((ctype, cname, init))
 
     def parse_type(self):
+        if self.peek()[1] == "mapping":
+            self.next()
+            self.expect("(")
+            self.parse_type()
+            self.expect("=")  # '=>' tokenizes as '=' '>'
+            self.expect(">")
+            vtype = self.parse_type()
+            self.expect(")")
+            return ("mapping", vtype)
         base = self.next()[1]
         dims = None
         if self.peek()[1] == "[":
@@ -307,6 +366,31 @@ class Parser:
             e = self.parse_expr()
             self.expect(";")
             return ("ret", e)
+        if v == "emit":
+            self.next()
+            ename = self.next()[1]
+            self.expect("(")
+            args = []
+            while not self.accept(")"):
+                args.append(self.parse_expr())
+                self.accept(",")
+            self.expect(";")
+            return ("emit", ename, args)
+        if v == "revert":
+            self.next()
+            k2, v2 = self.peek()
+            if k2 == "str":  # revert("reason")
+                self.next()
+                self.expect(";")
+                return ("revert", None, [("str", v2)])
+            ename = self.next()[1]
+            self.expect("(")
+            args = []
+            while not self.accept(")"):
+                args.append(self.parse_expr())
+                self.accept(",")
+            self.expect(";")
+            return ("revert", ename, args)
         if v == "assembly":
             self.next()
             self.expect("{")
@@ -439,7 +523,22 @@ class Parser:
         e = self.parse_primary()
         while True:
             k, v = self.peek()
-            if v == "(":
+            if v == "{" and e[0] == "member" and e[2] == "call":
+                # call options:  to.call{value: v}("")
+                self.next()
+                opts = {}
+                while not self.accept("}"):
+                    oname = self.next()[1]
+                    self.expect(":")
+                    opts[oname] = self.parse_expr()
+                    self.accept(",")
+                self.expect("(")
+                args = []
+                while not self.accept(")"):
+                    args.append(self.parse_expr())
+                    self.accept(",")
+                e = ("lowcall", e[1], opts, args)
+            elif v == "(":
                 self.next()
                 args = []
                 while not self.accept(")"):
@@ -507,6 +606,15 @@ GAS_PAIRING_BASE = 45_000
 GAS_PAIRING_PAIR = 34_000
 GAS_JUMPDEST_CALL = 30  # per internal function call (jump + frame setup)
 GAS_MEM_WORD = 3
+GAS_SLOAD_COLD = 2_100
+GAS_SLOAD_WARM = 100
+GAS_SSTORE_NEW = 20_000   # zero -> nonzero
+GAS_SSTORE_UPDATE = 5_000  # XXX simplified: no refunds
+GAS_CALL_COLD = 2_600
+GAS_CALL_VALUE = 9_000
+GAS_LOG_BASE = 375
+GAS_LOG_TOPIC = 375
+GAS_LOG_BYTE = 8
 
 
 def modexp_gas(base_len: int, exp: int, mod_len: int) -> int:
@@ -538,7 +646,13 @@ class _Break(Exception):
 
 @dataclass
 class SolContract:
-    """A parsed, executable Solidity artifact."""
+    """A parsed, executable Solidity artifact.
+
+    Stateful contracts (storage vars, mappings, events) persist their
+    storage in ``self.storage`` across calls; the hosting EvmRunner sets
+    ``address``, ``block_number`` and the ``extcall`` hook used for
+    interface calls / native sends to other deployed contracts.
+    """
 
     source: str
     name: str = ""
@@ -546,6 +660,16 @@ class SolContract:
     funcs: dict = dc_field(default_factory=dict)
     structs: dict = dc_field(default_factory=dict)
     gas: int = 0
+    storage: dict = dc_field(default_factory=dict)
+    events_def: dict = dc_field(default_factory=dict)
+    errors: set = dc_field(default_factory=set)
+    interfaces: set = dc_field(default_factory=set)
+    logs: list = dc_field(default_factory=list)
+    address: int = 0
+    extcall: object = None   # (addr, method, args, value) -> (ok, ret, gas)
+    block_number: int = 1
+    msg_sender: int = 0
+    msg_value: int = 0
 
     def __post_init__(self):
         structs: dict = {}
@@ -561,6 +685,17 @@ class SolContract:
         for cname, (ctype, e) in const_exprs.items():
             env[cname] = self._eval_const(e, env)
         self.consts = env
+        self.events_def = p.events
+        self.errors = p.errors
+        self.interfaces = p.interfaces
+        for sty, sname, init in p.storage_decls:
+            if sty[0] == "mapping":
+                self.storage[sname] = {}
+            elif init is not None:
+                self.storage[sname] = self._eval_const(init, env)
+            else:
+                self.storage[sname] = self._default(sty)
+        self._warm: set = set()
 
     def _eval_const(self, e, env):
         kind = e[0]
@@ -581,15 +716,20 @@ class SolContract:
         return len(self.source.encode())
 
     # -- public entry point
-    def call(self, fn_name: str, *args, meter_tx: bool = True):
+    def call(self, fn_name: str, *args, meter_tx: bool = True,
+             sender: int = 0, value: int = 0):
         """Execute ``fn_name`` with python values; returns (result, gas_used).
 
         External bytes/uint256[] params accept python bytes / list[int].
         Gas includes the intrinsic tx cost + calldata bytes when the target
         is external and meter_tx is set (evm_runner.rs call semantics).
+        ``sender``/``value`` populate msg.sender / msg.value.
         """
         fn = self.funcs[fn_name]
         self.gas = 0
+        self.msg_sender = sender
+        self.msg_value = value
+        self._warm = set()
         if fn.external and meter_tx:
             self.gas += GAS_INTRINSIC + self._calldata_gas(args)
         result = self._invoke(fn, list(args))
@@ -712,6 +852,22 @@ class SolContract:
                     pass
                 except _Break:
                     break
+        elif kind == "emit":
+            _, ename, arg_exprs = stmt
+            if ename not in self.events_def:
+                raise SolPanic(f"unknown event {ename}")
+            vals = [self._eval(a, scope) for a in arg_exprs]
+            names = [pn for _t, pn in self.events_def[ename]]
+            self.logs.append((ename, dict(zip(names, vals))))
+            self.gas += (GAS_LOG_BASE + GAS_LOG_TOPIC
+                         + GAS_LOG_BYTE * 32 * len(vals))
+        elif kind == "revert":
+            _, ename, arg_exprs = stmt
+            if ename is None:
+                raise SolRevert(self._eval(arg_exprs[0], scope))
+            if ename not in self.errors:
+                raise SolPanic(f"unknown error {ename}")
+            raise SolRevert(ename)
         elif kind == "cont":
             raise _Continue()
         elif kind == "brk":
@@ -758,16 +914,28 @@ class SolContract:
         raise SolPanic(f"bad asm expr {e!r}")
 
     # -- lvalue store
+    def _sstore_gas(self, was, now):
+        self.gas += (GAS_SSTORE_NEW if (not was and now)
+                     else GAS_SSTORE_UPDATE)
+
     def _store(self, lv, v, scope):
         self.gas += GAS_VERYLOW
         kind = lv[0]
         if kind == "name":
-            if lv[1] not in scope:
+            if lv[1] in scope:
+                scope[lv[1]] = v
+            elif lv[1] in self.storage:
+                self._sstore_gas(self.storage[lv[1]], v)
+                self.storage[lv[1]] = v
+            else:
                 raise SolPanic(f"assign to undeclared {lv[1]}")
-            scope[lv[1]] = v
         elif kind == "index":
             arr = self._eval(lv[1], scope)
             idx = self._eval(lv[2], scope)
+            if isinstance(arr, dict):  # storage mapping
+                self._sstore_gas(arr.get(idx, 0), v)
+                arr[idx] = v
+                return
             if idx >= len(arr):
                 raise SolPanic("array index out of bounds")
             arr[idx] = v
@@ -792,6 +960,13 @@ class SolContract:
             if n in self.consts:
                 self.gas += GAS_VERYLOW
                 return self.consts[n]
+            if n in self.storage:
+                self.gas += (GAS_SLOAD_WARM if n in self._warm
+                             else GAS_SLOAD_COLD)
+                self._warm.add(n)
+                return self.storage[n]
+            if n == "this":
+                return self.address
             raise SolPanic(f"unknown name {n}")
         if kind == "bin":
             op = e[1]
@@ -827,14 +1002,45 @@ class SolContract:
             arr = self._eval(e[1], scope)
             idx = self._eval(e[2], scope)
             self.gas += GAS_VERYLOW
+            if isinstance(arr, dict):  # storage mapping: absent slot = 0
+                key = (e[1][1], idx) if e[1][0] == "name" else id(arr)
+                self.gas += (GAS_SLOAD_WARM if key in self._warm
+                             else GAS_SLOAD_COLD)
+                self._warm.add(key)
+                return arr.get(idx, 0)
             if idx >= len(arr):
                 raise SolPanic("array index out of bounds")
             return arr[idx]
+        if kind == "lowcall":
+            # to.call{value: v}(data): native send through the runner
+            addr = self._eval(e[1], scope)
+            value = (self._eval(e[2]["value"], scope)
+                     if "value" in e[2] else 0)
+            ok, ret, gas = self._do_extcall(addr, "__send__", [], value)
+            self.gas += gas
+            return (ok, ret)
         if kind == "member":
             base, mname = e[1], e[2]
+            if base == ("name", "msg"):
+                self.gas += GAS_VERYLOW
+                if mname == "sender":
+                    return self.msg_sender
+                if mname == "value":
+                    return self.msg_value
+                raise SolPanic(f"msg.{mname} unsupported")
+            if base == ("name", "block"):
+                self.gas += GAS_VERYLOW
+                if mname == "number":
+                    return self.block_number
+                raise SolPanic(f"block.{mname} unsupported")
             if base == ("name", "abi"):
                 raise SolPanic("abi member used without call")
             obj = self._eval(base, scope)
+            if mname == "balance" and isinstance(obj, int) \
+                    and not isinstance(obj, bool):
+                ok, ret, gas = self._do_extcall(obj, "__balance__", [], 0)
+                self.gas += gas
+                return ret
             if mname == "length":
                 self.gas += GAS_VERYLOW
                 return len(obj)
@@ -904,6 +1110,16 @@ class SolContract:
         # abi.* and address(..).staticcall need the unevaluated callee
         if fn_expr[0] == "member":
             base, mname = fn_expr[1], fn_expr[2]
+            # interface call:  IFace(addr).method(args)
+            if base[0] == "call" and base[1][0] == "name" \
+                    and base[1][1] in self.interfaces:
+                addr = self._eval(base[2][0], scope)
+                args = [self._eval(a, scope) for a in arg_exprs]
+                ok, ret, gas = self._do_extcall(addr, mname, args, 0)
+                self.gas += gas
+                if not ok:
+                    raise SolRevert(f"{base[1][1]}.{mname} reverted: {ret}")
+                return ret
             if base == ("name", "abi"):
                 if mname == "encodePacked":
                     return self._encode_packed(
@@ -947,7 +1163,9 @@ class SolContract:
             return B32(int(self._eval(arg_exprs[0], scope)))
         if fname == "uint8":
             return U8(int(self._eval(arg_exprs[0], scope)) & 0xFF)
-        if fname == "address":
+        if fname == "uint160":
+            return int(self._eval(arg_exprs[0], scope)) & ((1 << 160) - 1)
+        if fname in ("address", "payable"):
             return int(self._eval(arg_exprs[0], scope))
         if fname == "bool":
             return bool(self._eval(arg_exprs[0], scope))
@@ -979,6 +1197,20 @@ class SolContract:
             raise SolPanic(f"unknown function {fname}")
         args = [self._eval(a, scope) for a in arg_exprs]
         return self._invoke(fn, args)
+
+    # -- external calls (interface calls, native sends)
+    def _do_extcall(self, addr: int, method: str, args: list, value: int):
+        """Dispatch to another deployed contract through the runner hook.
+
+        Returns (ok, ret, gas).  Without a hook (standalone artifact
+        execution, e.g. the verifier tests) only precompile addresses
+        work — anything else is a deployment error.
+        """
+        gas = GAS_CALL_COLD + (GAS_CALL_VALUE if value else 0)
+        if self.extcall is None:
+            raise SolPanic(f"no runner: external call to {addr:#x}")
+        ok, ret, callee_gas = self.extcall(addr, method, args, value)
+        return ok, ret, gas + callee_gas
 
     # -- abi helpers
     def _encode_packed(self, args) -> bytes:
