@@ -84,6 +84,8 @@ def main() -> None:
         ref = REFERENCE_GAS[name]
         report[name] = {
             "interpreter_gas": gas,
+            "gas_by_category": dict(sorted(sol.gas_cat.items(),
+                                           key=lambda kv: -kv[1])),
             "reference_revm_gas": ref,
             "vs_reference": round(gas / ref, 4),
             "proof_bytes": len(proof),
@@ -92,6 +94,8 @@ def main() -> None:
         }
         print(f"{name:11s} gas={gas:>9,} (reference {ref:,}; "
               f"x{gas/ref:.3f}) proof={len(proof)}B", flush=True)
+        print("  categories:", dict(sorted(sol.gas_cat.items(),
+                                           key=lambda kv: -kv[1])), flush=True)
 
     out = {
         "note": ("gas metered by executing the committed .sol text in "

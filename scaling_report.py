@@ -85,6 +85,75 @@ def report():
         print(f"poseidon2 2^{POSEIDON_LOG_B} @ {nd} dev: {t*1e3:.0f} ms",
               flush=True)
 
+    # --- the sharded deposit prove's mesh components (VERDICT r3 #8):
+    # points-sharded commit + sharded coset extension at the committed
+    # deposit shape (k=11, pronto pk) ---
+    import random as _random
+
+    from zkos_tpu.models import shielder as sh
+    from zkos_tpu.parallel import prover as shp
+    from zkos_tpu.protocol import contract, merkle, notes, secrets
+    from zkos_tpu.proof import serialize, srs as srs_mod
+
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "artifacts")
+    meta = json.load(open(os.path.join(art, "deposit_meta.json")))
+    srs11 = srs_mod.read(k=meta["k"])
+    id_ = secrets.generate_user_id(1)
+    tree = merkle.MerkleTree(height=contract.consts.TREE_HEIGHT)
+    nul = secrets.derive_nullifier(id_, 0)
+    tree.add_note(notes.make_note(id_, nul, 100, 0))
+    pkn = sh.DepositProverKnowledge(
+        id=id_, nullifier_old=nul, account_old_balance=100, token_address=0,
+        path=merkle.path_to_matrix(tree.get_merkle_path(0)), value=5,
+        commitment=1, nullifier_new=secrets.derive_nullifier(id_, 1),
+        mac_salt=2)
+    builder = sh.build_deposit(meta["k"], pkn)
+    cs11 = sh._cs_with_copies(meta["k"], builder)
+    pk11 = serialize.unmarshall_pk(
+        open(os.path.join(art, "deposit_pk.bin"), "rb").read(), cs11, srs11)
+    from zkos_tpu.ops import field_golden as G
+
+    rngp = _random.Random(3)
+    poly = [rngp.randrange(1, G.FR_MODULUS) for _ in range(1 << meta["k"])]
+    results["prove_commit"] = {}
+    results["prove_coset_ext"] = {}
+    for nd in (1, 2, 4, 8):
+        mesh = mesh_mod.data_mesh(nd)
+        sp = shp.ShardedProver(pk11, mesh)
+        t = timeit(lambda: sp.commit(poly), iters=2)
+        results["prove_commit"][nd] = {
+            "wall_ms": round(t * 1e3, 1),
+            "commits_per_s_per_device": round(1 / t / nd, 4)}
+        print(f"deposit commit (k={meta['k']}) @ {nd} dev: {t*1e3:.0f} ms",
+              flush=True)
+        t = timeit(lambda: sp.coset_extended_eval(poly), iters=2)
+        results["prove_coset_ext"][nd] = {
+            "wall_ms": round(t * 1e3, 1),
+            "exts_per_s_per_device": round(1 / t / nd, 4)}
+        print(f"deposit coset ext @ {nd} dev: {t*1e3:.0f} ms", flush=True)
+
+    # --- weak scaling (fixed work per device): separates partitioning
+    # overhead from 2-vCPU core contention in the 4/8-device falloff ---
+    results["ntt_weak"] = {}
+    for nd in (1, 2, 4, 8):
+        mesh = mesh_mod.data_mesh(nd)
+        wn = nd << 17
+        wn1 = 1 << (wn.bit_length() // 2)
+        while wn // wn1 % nd and wn1 >= nd:
+            wn1 *= 2
+        wn2 = wn // wn1
+        wc = rng.integers(0, 1 << 14, size=(F.N_LIMBS, wn), dtype=np.uint32)
+        wmat = jax.device_put(
+            sharded.coeffs_to_matrix(jnp.asarray(wc), wn1, wn2),
+            NamedSharding(mesh, P(None, DATA_AXIS, None)))
+        t = timeit(lambda: sharded.sharded_ntt_4step(mesh, wmat))
+        results["ntt_weak"][nd] = {
+            "wall_ms": round(t * 1e3, 1), "log_n": wn.bit_length() - 1,
+            "coeffs_per_s_per_device": round(wn / t / nd, 1)}
+        print(f"ntt weak 2^{wn.bit_length()-1} @ {nd} dev: {t*1e3:.0f} ms",
+              flush=True)
+
     for kind in results:
         base = list(results[kind].values())[0]
         key = [k for k in base if k.endswith("per_device")][0]

@@ -88,41 +88,210 @@ class ShardedProver:
         wsums = self._commit_graph()(self.table, sc)
         return M.fold_windows_host(np.asarray(wsums), self.c)
 
-    # -- phase-3 extended-domain transform over the mesh --
+    # -- phase-3 extended-domain transforms over the mesh --
 
-    def coset_extended_eval(self, coeffs: list[int]) -> list[int]:
-        """coeff -> values on the extended coset, via the sharded
-        four-step NTT (one all_to_all).  Matches
-        domain.coeff_to_extended_coset (the engine's _to_ext)."""
-        d = self.pk.vk.domain
-        ext_n = d.extended_n
-        scaled = [c * pow(d.coset, i, G.FR_MODULUS) % G.FR_MODULUS
-                  for i, c in enumerate(coeffs)]
-        padded = scaled + [0] * (ext_n - len(scaled))
+    def _split_ext(self) -> tuple[int, int]:
+        """(n1, n2) tiling of the extended domain for the 4-step NTT."""
+        ext_n = self.pk.vk.domain.extended_n
         n1 = 1 << (ext_n.bit_length() // 2)
         while ext_n // n1 % self.nd and n1 >= self.nd:
             n1 *= 2
         n2 = ext_n // n1
         assert n1 % self.nd == 0 and n2 % self.nd == 0, \
             f"ext domain {ext_n} does not tile the {self.nd}-device mesh"
-        a = F.to_mont(F.FR, jnp.asarray(
-            np.asarray(F.to_limbs(padded), dtype=np.uint32)))
-        mat = coeffs_to_matrix(a, n1, n2)
-        out = sharded_ntt_4step(self.mesh, mat)
-        vals = F.from_mont(F.FR, matrix_to_naturals(out))
+        return n1, n2
+
+    def _ntt_flat(self, a_mont: jax.Array, inverse: bool) -> jax.Array:
+        """(18, ext_n) natural-order mont -> transform, via the sharded
+        four-step pipeline (its one all_to_all is the only cross-chip
+        exchange; the inverse carries the 1/n scale)."""
+        n1, n2 = self._split_ext()
+        mat = coeffs_to_matrix(a_mont, n1, n2)
+        out = sharded_ntt_4step(self.mesh, mat, inverse=inverse)
+        return matrix_to_naturals(out)
+
+    @property
+    def _coset_tables(self):
+        """((18, ext_n) mont coset^i, (18, ext_n) mont coset^-i)."""
+        if getattr(self, "_coset_tab", None) is None:
+            d = self.pk.vk.domain
+            p = G.FR_MODULUS
+            ext_n = d.extended_n
+            pows, inv_pows = [], []
+            cur, cur_i = 1, 1
+            coset_inv = pow(d.coset, p - 2, p)
+            for _ in range(ext_n):
+                pows.append(cur)
+                inv_pows.append(cur_i)
+                cur = cur * d.coset % p
+                cur_i = cur_i * coset_inv % p
+            self._coset_tab = (
+                F.to_mont(F.FR, eng.ints_to_device(pows)),
+                F.to_mont(F.FR, eng.ints_to_device(inv_pows)))
+        return self._coset_tab
+
+    def _ext_mont(self, coeffs: list[int]) -> jax.Array:
+        """python coeff list -> (18, ext_n) mont values on the extended
+        coset (device coset scaling + sharded forward 4-step NTT)."""
+        d = self.pk.vk.domain
+        ext_n = d.extended_n
+        padded = list(coeffs) + [0] * (ext_n - len(coeffs))
+        a = F.to_mont(F.FR, eng.ints_to_device(padded))
+        scaled = F.mont_mul(F.FR, a, self._coset_tables[0])
+        return self._ntt_flat(scaled, inverse=False)
+
+    def coset_extended_eval(self, coeffs: list[int]) -> list[int]:
+        """coeff -> values on the extended coset, via the sharded
+        four-step NTT (one all_to_all).  Matches
+        domain.coeff_to_extended_coset (the engine's _to_ext)."""
+        vals = F.from_mont(F.FR, F.reduce2p(F.FR, self._ext_mont(coeffs)))
+        return eng.device_to_ints(vals)
+
+    def extended_coset_to_coeff(self, evals: list[int]) -> list[int]:
+        """Inverse: extended-coset values -> coefficients, sharded
+        (matches domain.extended_coset_to_coeff)."""
+        a = F.to_mont(F.FR, eng.ints_to_device([x % G.FR_MODULUS
+                                                for x in evals]))
+        coeff = self._ntt_flat(a, inverse=True)
+        unscaled = F.mont_mul(F.FR, coeff, self._coset_tables[1])
+        vals = F.from_mont(F.FR, F.reduce2p(F.FR, unscaled))
+        return eng.device_to_ints(vals)
+
+    # -- the full meshed quotient (phase 3): every NTT through the
+    #    sharded four-step pipeline, the gate/permutation/lookup
+    #    numerator evaluated by the device expression engine under a jit
+    #    whose extended-row inputs are sharded over the mesh (XLA/GSPMD
+    #    partitions the elementwise limb kernels and inserts collective
+    #    permutes for the rotations) --
+
+    def _quotient_graph(self):
+        if getattr(self, "_qgraph", None) is None:
+            cs = self.pk.vk.cs
+            d = self.pk.vk.domain
+            ext_n = d.extended_n
+            rot_step = ext_n // d.n
+            n_lk = len(cs.lookups)
+
+            def rot(a, r):
+                return jnp.roll(a, -((r * rot_step) % ext_n), axis=1)
+
+            def numer_fn(fixed_e, sigma_e, l_e, x_vec, zh_inv, adv_e, z_e,
+                         inst_e, y_m, beta_m, gamma_m, theta_m,
+                         lkz_e=None, lkp_e=None):
+                MVal = eng.MVal
+                ctx = eng.DeviceQuotientCtx(
+                    fixed=lambda i, r: MVal(rot(fixed_e[:, :, i], r), 2),
+                    advice=lambda i, r: MVal(rot(adv_e[:, :, i], r), 2),
+                    instance=lambda: MVal(inst_e, 2),
+                    z=lambda i, r: MVal(rot(z_e[:, :, i], r), 2),
+                    sigma=lambda i: MVal(sigma_e[:, :, i], 2),
+                    l0=MVal(l_e[:, :, 0], 2),
+                    llast=MVal(l_e[:, :, 1], 2),
+                    lblind=MVal(l_e[:, :, 2], 2),
+                    x_vec=MVal(x_vec, 2),
+                    beta=MVal(beta_m[:, None], 2),
+                    gamma=MVal(gamma_m[:, None], 2),
+                    ndim=2,
+                    theta=MVal(theta_m[:, None], 2),
+                    lookup_z=(lambda i, r: MVal(rot(lkz_e[:, :, i], r), 2))
+                    if n_lk else None,
+                    lookup_pin=(lambda i, r:
+                                MVal(rot(lkp_e[:, :, 2 * i], r), 2))
+                    if n_lk else None,
+                    lookup_ptab=(lambda i: MVal(lkp_e[:, :, 2 * i + 1], 2))
+                    if n_lk else None)
+                numer = eng.quotient_numer_device(cs, ctx, y_m)
+                return F.mont_mul(F.FR, numer, zh_inv)
+
+            self._qgraph = jax.jit(numer_fn)
+        return self._qgraph
+
+    def _shard_ext_rows(self, arr: jax.Array) -> jax.Array:
+        """Commit an extended-domain array to row sharding over the mesh
+        (axis 1 = extended rows) so the quotient jit partitions its
+        elementwise limb kernels and turns the rotations into collective
+        permutes."""
+        spec = P(None, DATA_AXIS) if arr.ndim == 2 \
+            else P(None, DATA_AXIS, None)
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    @property
+    def _static_ext(self):
+        """Sharded extended-coset tables: fixed, sigma, lagrange markers,
+        x_vec, zh_inv — computed once per ShardedProver through the
+        sharded pipeline itself."""
+        if getattr(self, "_stat", None) is None:
+            pk, d = self.pk, self.pk.vk.domain
+            cs = pk.vk.cs
+            p = G.FR_MODULUS
+            n, ext_n = d.n, d.extended_n
+            u = cs.usable_rows()
+            fixed_e = jnp.stack([self._ext_mont(q)
+                                 for q in pk.vk.fixed_polys], axis=-1) \
+                if pk.vk.fixed_polys else jnp.zeros(
+                    (F.N_LIMBS, ext_n, 0), jnp.uint32)
+            sigma_e = jnp.stack([self._ext_mont(q)
+                                 for q in pk.sigma_polys], axis=-1)
+            l_cols = [
+                d.lagrange_to_coeff([1] + [0] * (n - 1)),
+                d.lagrange_to_coeff([1 if r == u else 0 for r in range(n)]),
+                d.lagrange_to_coeff([1 if r > u else 0 for r in range(n)]),
+            ]
+            l_e = jnp.stack([self._ext_mont(q) for q in l_cols], axis=-1)
+            x_ints = [d.coset * pow(d.extended_omega, i, p) % p
+                      for i in range(ext_n)]
+            zh_ints = [pow((pow(x, n, p) - 1) % p, p - 2, p) for x in x_ints]
+            x_vec = F.to_mont(F.FR, eng.ints_to_device(x_ints))
+            zh_inv = F.to_mont(F.FR, eng.ints_to_device(zh_ints))
+            self._stat = (fixed_e, sigma_e, l_e, x_vec, zh_inv)
+        return self._stat
+
+    def quotient_coeffs(self, *, advice_polys, z_polys, lookup_z_polys,
+                        lookup_data, instance_poly, theta, beta, gamma,
+                        y) -> list[int]:
+        """plonk.prove phase3_fn hook: t(X) coefficients, mesh-computed."""
+        cs = self.pk.vk.cs
+        sh = self._shard_ext_rows
+        fixed_e, sigma_e, l_e, x_vec, zh_inv = [
+            sh(a) for a in self._static_ext]
+        adv_e = sh(jnp.stack([self._ext_mont(q) for q in advice_polys],
+                             axis=-1))
+        z_e = sh(jnp.stack([self._ext_mont(q) for q in z_polys], axis=-1))
+        inst_e = sh(self._ext_mont(instance_poly))
+        scal = [F.to_mont(F.FR, eng.ints_to_device([v])[:, 0])
+                for v in (y, beta, gamma, theta)]
+        args = [fixed_e, sigma_e, l_e, x_vec, zh_inv, adv_e, z_e, inst_e,
+                *scal]
+        if cs.lookups:
+            lkz_e = sh(jnp.stack([self._ext_mont(q)
+                                  for q in lookup_z_polys], axis=-1))
+            cols = []
+            for ld in lookup_data:
+                cols.append(self._ext_mont(ld["ap_poly"]))
+                cols.append(self._ext_mont(ld["sp_poly"]))
+            lkp_e = sh(jnp.stack(cols, axis=-1))
+            args += [lkz_e, lkp_e]
+        t_ext = self._quotient_graph()(*args)
+        coeff = self._ntt_flat(F.reduce2p(F.FR, t_ext), inverse=True)
+        unscaled = F.mont_mul(F.FR, coeff, self._coset_tables[1])
+        vals = F.from_mont(F.FR, F.reduce2p(F.FR, unscaled))
         return eng.device_to_ints(vals)
 
 
 def prove_sharded(pk, advice_values, instances, mesh, rng=None,
                   pcs: str = "bdfg21") -> bytes:
-    """Full proof with every commitment computed on the mesh.
+    """Full proof with every commitment AND the quotient phase computed
+    on the mesh.
 
     Byte-identical to plonk.prove(engine="host"/"device") for the same
     rng stream; the host drives transcript + scalar work while all G1
-    MSMs execute points-sharded across the devices.
+    MSMs execute points-sharded across the devices and phase 3 runs
+    through the sharded four-step NTTs + the row-sharded quotient
+    evaluator (ShardedProver.quotient_coeffs).
     """
     from ..proof import plonk
 
     sp = ShardedProver(pk, mesh)
     return plonk.prove(pk, advice_values, instances, rng=rng,
-                       engine="host", pcs=pcs, commit_fn=sp.commit)
+                       engine="host", pcs=pcs, commit_fn=sp.commit,
+                       phase3_fn=sp.quotient_coeffs)

@@ -465,9 +465,63 @@ def permute_lookup_pair(a_usable: list[int], s_usable: list[int]):
     return a_sorted, s_perm
 
 
+def _phase3_host(pk, cs, d, advice_polys, z_polys, lookup_z_polys,
+                 lookup_data, instance_vals, u, theta, beta, gamma, y):
+    """Host-golden quotient construction: extend every committed poly to
+    the extended coset, Horner-fold the gate/permutation/lookup rows in
+    y, divide by Z_H, return t(X) coefficients."""
+    n = d.n
+    numer_exprs = _quotient_rows(cs)
+    ext_n = d.extended_n
+
+    def ext(coeffs):
+        return d.coeff_to_extended_coset(coeffs)
+
+    fixed_ext = [ext(p) for p in pk.vk.fixed_polys]
+    advice_ext = [ext(p) for p in advice_polys]
+    instance_ext = ext(d.lagrange_to_coeff(instance_vals))
+    z_ext = [ext(p) for p in z_polys]
+    sigma_ext = [ext(p) for p in pk.sigma_polys]
+    l0_ext = ext(d.lagrange_to_coeff([1] + [0] * (n - 1)))
+    llast_ext = ext(d.lagrange_to_coeff([1 if r == u else 0 for r in range(n)]))
+    lblind_ext = ext(d.lagrange_to_coeff(
+        [1 if r > u else 0 for r in range(n)]))
+    rot_step = ext_n // n
+
+    def rotate(vec, rot):
+        s = (rot * rot_step) % ext_n
+        return vec[s:] + vec[:s]
+
+    lookup_z_ext = [ext(p) for p in lookup_z_polys]
+    lookup_pin_ext = [ext(ld["ap_poly"]) for ld in lookup_data]
+    lookup_ptab_ext = [ext(ld["sp_poly"]) for ld in lookup_data]
+    ctx = _EvalCtx(
+        fixed=lambda i, rot: rotate(fixed_ext[i], rot),
+        advice=lambda i, rot: rotate(advice_ext[i], rot),
+        instance=lambda: instance_ext,
+        z=lambda i, rot: rotate(z_ext[i], rot),
+        sigma=lambda i: sigma_ext[i],
+        l0=l0_ext, llast=llast_ext, lblind=lblind_ext,
+        x_vec=[d.coset * pow(d.extended_omega, i, P) % P for i in range(ext_n)],
+        beta=beta, gamma=gamma,
+        vec_len=ext_n,
+        theta=theta,
+        lookup_z=lambda i, rot: rotate(lookup_z_ext[i], rot),
+        lookup_pin=lambda i, rot: rotate(lookup_pin_ext[i], rot),
+        lookup_ptab=lambda i: lookup_ptab_ext[i])
+    numer = [0] * ext_n
+    for expr_fn in numer_exprs:
+        vals = expr_fn(ctx)
+        numer = [(acc * y + v) % P for acc, v in zip(numer, vals)]
+
+    zh_inv = [pow((pow(x, n, P) - 1) % P, P - 2, P) for x in ctx.x_vec]
+    t_ext = [nu * zi % P for nu, zi in zip(numer, zh_inv)]
+    return d.extended_coset_to_coeff(t_ext)
+
+
 def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
           rng: _random.Random | None = None, engine: str | None = None,
-          pcs: str = "bdfg21", commit_fn=None) -> bytes:
+          pcs: str = "bdfg21", commit_fn=None, phase3_fn=None) -> bytes:
     """advice_values: num_advice lists of n ints (lagrange, unblinded).
 
     engine="device" (default) runs every polynomial/commitment kernel on
@@ -476,6 +530,12 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     the same rng stream.  rng defaults to the dev-seed convention
     (SHIELDER_RNG_SEED-style seed 42); pass ``random.SystemRandom()`` for
     os-entropy blinding in production.
+
+    ``phase3_fn`` overrides the quotient construction (extension +
+    numerator + division + inverse) for the host-driven engine — the
+    mesh prover (parallel.prover.ShardedProver.quotient_coeffs) computes
+    it with sharded four-step NTTs and a row-sharded evaluator; must
+    return the full t(X) coefficient list on the extended domain.
     """
     rng = rng or _random.Random(42)
     if commit_fn is None and (engine or DEFAULT_ENGINE) == "device" \
@@ -586,52 +646,16 @@ def prove(pk: ProvingKey, advice_values: list[list[int]], instances: list[int],
     y = tr.squeeze_challenge()
 
     # -- phase 3: quotient --
-    numer_exprs = _quotient_rows(cs)
-    ext_n = d.extended_n
-
-    def ext(coeffs):
-        return d.coeff_to_extended_coset(coeffs)
-
-    fixed_ext = [ext(p) for p in pk.vk.fixed_polys]
-    advice_ext = [ext(p) for p in advice_polys]
-    instance_ext = ext(d.lagrange_to_coeff(instance_vals))
-    z_ext = [ext(p) for p in z_polys]
-    sigma_ext = [ext(p) for p in pk.sigma_polys]
-    l0_ext = ext(d.lagrange_to_coeff([1] + [0] * (n - 1)))
-    llast_ext = ext(d.lagrange_to_coeff([1 if r == u else 0 for r in range(n)]))
-    lblind_ext = ext(d.lagrange_to_coeff(
-        [1 if r > u else 0 for r in range(n)]))
-    rot_step = ext_n // n
-
-    def rotate(vec, rot):
-        s = (rot * rot_step) % ext_n
-        return vec[s:] + vec[:s]
-
-    lookup_z_ext = [ext(p) for p in lookup_z_polys]
-    lookup_pin_ext = [ext(ld["ap_poly"]) for ld in lookup_data]
-    lookup_ptab_ext = [ext(ld["sp_poly"]) for ld in lookup_data]
-    ctx = _EvalCtx(
-        fixed=lambda i, rot: rotate(fixed_ext[i], rot),
-        advice=lambda i, rot: rotate(advice_ext[i], rot),
-        instance=lambda: instance_ext,
-        z=lambda i, rot: rotate(z_ext[i], rot),
-        sigma=lambda i: sigma_ext[i],
-        l0=l0_ext, llast=llast_ext, lblind=lblind_ext,
-        x_vec=[d.coset * pow(d.extended_omega, i, P) % P for i in range(ext_n)],
-        beta=beta, gamma=gamma,
-        vec_len=ext_n,
-        theta=theta,
-        lookup_z=lambda i, rot: rotate(lookup_z_ext[i], rot),
-        lookup_pin=lambda i, rot: rotate(lookup_pin_ext[i], rot),
-        lookup_ptab=lambda i: lookup_ptab_ext[i])
-    numer = [0] * ext_n
-    for expr_fn in numer_exprs:
-        vals = expr_fn(ctx)
-        numer = [(acc * y + v) % P for acc, v in zip(numer, vals)]
-
-    zh_inv = [pow((pow(x, n, P) - 1) % P, P - 2, P) for x in ctx.x_vec]
-    t_ext = [nu * zi % P for nu, zi in zip(numer, zh_inv)]
-    t_coeffs = d.extended_coset_to_coeff(t_ext)
+    if phase3_fn is not None:
+        t_coeffs = phase3_fn(
+            advice_polys=advice_polys, z_polys=z_polys,
+            lookup_z_polys=lookup_z_polys, lookup_data=lookup_data,
+            instance_poly=d.lagrange_to_coeff(instance_vals),
+            theta=theta, beta=beta, gamma=gamma, y=y)
+    else:
+        t_coeffs = _phase3_host(pk, cs, d, advice_polys, z_polys,
+                                lookup_z_polys, lookup_data, instance_vals,
+                                u, theta, beta, gamma, y)
     num_q = cs.num_quotients()
     assert all(c == 0 for c in t_coeffs[num_q * n :]), "quotient degree overflow"
     t_pieces = [t_coeffs[i * n : (i + 1) * n] for i in range(num_q)]

@@ -62,6 +62,19 @@ def _sub(a: str, b: str) -> str:
     return f"addmod({a}, R - {b}, R)"
 
 
+def _render_zs_prepass(sets):
+    out = [f'        uint256[] memory zsArr = new uint256[]({len(sets)});']
+    for si, (rots, _keys) in enumerate(sets):
+        out.append('        {')
+        out.append('            uint256 zp_ = 1;')
+        for rot in rots:
+            out.append(f'            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, {rot}), R), R);')
+        out.append(f'            zsArr[{si}] = zp_;')
+        out.append('        }')
+    out.append('        uint256[] memory zsInvArr = batchInv(zsArr);')
+    return chr(10).join(out)
+
+
 def render_solidity_verifier(vk: plonk.VerifyingKey,
                              name: str = "Halo2Verifier") -> str:
     """Render the specialized Solidity verifier for this verifying key."""
@@ -190,6 +203,7 @@ def render_solidity_verifier(vk: plonk.VerifyingKey,
             return f"lk[{5 * i + 4}]"
         raise KeyError(key)
 
+    zs_prepass = _render_zs_prepass(sets)
     set_blocks = []
     for si, (rots, keys) in enumerate(sets):
         m = len(rots)
@@ -209,12 +223,8 @@ def render_solidity_verifier(vk: plonk.VerifyingKey,
                     f"            ce[{ri}] = addmod(ce[{ri}], "
                     f"mulmod(zp, {eval_expr(key, rot)}, R), R);")
             lines.append("            zp = mulmod(zp, zeta, R);")
-        lines.append("            uint256 zsMu = 1;")
-        lines.append(f"            for (uint256 i = 0; i < {m}; i++)")
-        lines.append("                zsMu = mulmod(zsMu, "
-                     "addmod(mu, R - pts[i], R), R);")
         lines.append("            uint256 scale = mulmod(nuPow, "
-                     "mulmod(z0Mu, inv(zsMu), R), R);")
+                     f"mulmod(z0Mu, zsInvArr[{si}], R), R);")
         lines.append("            (tx_, ty_) = ecMul(cx, cy, scale);")
         lines.append("            (fX, fY) = ecAdd(fX, fY, tx_, ty_);")
         lines.append("            rTotal = addmod(rTotal, mulmod(scale, "
@@ -299,26 +309,56 @@ contract {name} {{
         return acc;
     }}
 
-    function lag(uint256 x, uint256 zh, uint256 i)
-        internal view returns (uint256) {{
-        uint256 wi = 1;
-        for (uint256 j = 0; j < i; j++) wi = mulmod(wi, OMEGA, R);
-        return mulmod(mulmod(zh, wi, R),
-            mulmod(N_INV, inv(addmod(x, R - wi, R)), R), R);
+    // l_i(x) = zh * w^i * N_INV / (x - w^i); the caller supplies w^i
+    // (built incrementally) and the batch-inverted denominator — the
+    // O(i) omega loop + per-value modexp of the naive form cost ~300k
+    // gas at k=11 (template :399-471 batches exactly like this)
+    function lagW(uint256 zh, uint256 wi, uint256 dinv)
+        internal pure returns (uint256) {{
+        return mulmod(mulmod(zh, wi, R), mulmod(N_INV, dinv, R), R);
+    }}
+
+    // Montgomery batch inversion: one modexp for any number of values
+    function batchInv(uint256[] memory v)
+        internal view returns (uint256[] memory) {{
+        uint256 m = v.length;
+        uint256[] memory pre = new uint256[](m);
+        uint256 acc = 1;
+        for (uint256 i = 0; i < m; i++) {{
+            pre[i] = acc;
+            acc = mulmod(acc, v[i], R);
+        }}
+        uint256 ai = inv(acc);
+        uint256[] memory out = new uint256[](m);
+        for (uint256 i = m; i > 0; i--) {{
+            out[i - 1] = mulmod(ai, pre[i - 1], R);
+            ai = mulmod(ai, v[i - 1], R);
+        }}
+        return out;
     }}
 
     function interpAt(uint256[] memory pts, uint256[] memory vals,
                       uint256 mu) internal view returns (uint256) {{
+        if (pts.length == 1) return vals[0];
         uint256 acc;
+        uint256[] memory dens = new uint256[](pts.length);
         for (uint256 i = 0; i < pts.length; i++) {{
-            uint256 num = 1; uint256 den = 1;
+            uint256 den = 1;
+            for (uint256 j = 0; j < pts.length; j++) {{
+                if (i == j) continue;
+                den = mulmod(den, addmod(pts[i], R - pts[j], R), R);
+            }}
+            dens[i] = den;
+        }}
+        uint256[] memory dinv = batchInv(dens);
+        for (uint256 i = 0; i < pts.length; i++) {{
+            uint256 num = 1;
             for (uint256 j = 0; j < pts.length; j++) {{
                 if (i == j) continue;
                 num = mulmod(num, addmod(mu, R - pts[j], R), R);
-                den = mulmod(den, addmod(pts[i], R - pts[j], R), R);
             }}
             acc = addmod(acc, mulmod(vals[i],
-                mulmod(num, inv(den), R), R), R);
+                mulmod(num, dinv[i], R), R), R);
         }}
         return acc;
     }}
@@ -424,20 +464,46 @@ contract {name} {{
         }}
         uint256 zh = addmod(xN, R - 1, R);
         uint256 instanceEval;
-        uint256 l0 = lag(x, zh, 0);
-        uint256 lLast = lag(x, zh, N - uint256(-ROT_LAST));
-        uint256 lBlind;
-        for (uint256 i = N - uint256(-ROT_LAST) + 1; i < N; i++)
-            lBlind = addmod(lBlind, lag(x, zh, i), R);
-        for (uint256 i = 0; i < instances.length; i++)
-            instanceEval = addmod(instanceEval,
-                mulmod(instances[i], lag(x, zh, i), R), R);
+        uint256 l0; uint256 lLast; uint256 lBlind; uint256 zhInv;
+        {{
+            // rows 0..n_inst-1 use w^i (incremental); the last/blinding
+            // rows n-bl..n-1 use w^{{-k}} = OMEGA_INV^k — no O(n) loops
+            uint256 bl = uint256(-ROT_LAST);
+            uint256 m = instances.length + bl + 1;
+            uint256[] memory dens = new uint256[](m);
+            uint256[] memory ws = new uint256[](m);
+            uint256 wi = 1;
+            for (uint256 i = 0; i < instances.length; i++) {{
+                ws[i] = wi;
+                dens[i] = addmod(x, R - wi, R);
+                wi = mulmod(wi, OMEGA, R);
+            }}
+            wi = OMEGA_INV;
+            for (uint256 i = 0; i < bl; i++) {{
+                ws[instances.length + i] = wi;
+                dens[instances.length + i] = addmod(x, R - wi, R);
+                wi = mulmod(wi, OMEGA_INV, R);
+            }}
+            dens[m - 1] = zh;
+            uint256[] memory dinv = batchInv(dens);
+            zhInv = dinv[m - 1];
+            l0 = lagW(zh, ws[0], dinv[0]);
+            for (uint256 i = 0; i < instances.length; i++)
+                instanceEval = addmod(instanceEval, mulmod(instances[i],
+                    lagW(zh, ws[i], dinv[i]), R), R);
+            // descending rows n-1 .. n-bl: the last one is L_last
+            lLast = lagW(zh, ws[m - 2], dinv[m - 2]);
+            for (uint256 i = 0; i < bl - 1; i++)
+                lBlind = addmod(lBlind, lagW(zh,
+                    ws[instances.length + i],
+                    dinv[instances.length + i]), R);
+        }}
         uint256 active = addmod(1, R - addmod(lLast, lBlind, R), R);
 
         // quotient numerator, y-Horner (evaluator.rs order)
         uint256 numer;
 {numer_lines}
-        uint256 quotientEval = mulmod(numer, inv(zh), R);
+        uint256 quotientEval = mulmod(numer, zhInv, R);
 
         // fold quotient commitment by x^n (template :496-514)
         uint256 qcX = qc2[2 * (NUM_QUOTIENTS - 1)];
@@ -459,6 +525,7 @@ contract {name} {{
         uint256 tx_; uint256 ty_;
         uint256 z0Mu = 1;
 {z0_lines}
+{zs_prepass}
 {chr(10).join(set_blocks)}
 
         // F - rTotal*G - z0Mu*W + mu*W'

@@ -660,6 +660,7 @@ class SolContract:
     funcs: dict = dc_field(default_factory=dict)
     structs: dict = dc_field(default_factory=dict)
     gas: int = 0
+    gas_cat: dict = dc_field(default_factory=dict)
     storage: dict = dc_field(default_factory=dict)
     events_def: dict = dc_field(default_factory=dict)
     errors: set = dc_field(default_factory=set)
@@ -697,6 +698,10 @@ class SolContract:
                 self.storage[sname] = self._default(sty)
         self._warm: set = set()
 
+    def charge(self, n: int, cat: str) -> None:
+        self.gas += n
+        self.gas_cat[cat] = self.gas_cat.get(cat, 0) + n
+
     def _eval_const(self, e, env):
         kind = e[0]
         if kind == "num":
@@ -727,11 +732,12 @@ class SolContract:
         """
         fn = self.funcs[fn_name]
         self.gas = 0
+        self.gas_cat = {}
         self.msg_sender = sender
         self.msg_value = value
         self._warm = set()
         if fn.external and meter_tx:
-            self.gas += GAS_INTRINSIC + self._calldata_gas(args)
+            self.charge(GAS_INTRINSIC + self._calldata_gas(args), "tx")
         result = self._invoke(fn, list(args))
         return result, self.gas
 
@@ -751,7 +757,7 @@ class SolContract:
 
     # -- execution
     def _invoke(self, fn: FunctionDef, args: list):
-        self.gas += GAS_JUMPDEST_CALL
+        self.charge(GAS_JUMPDEST_CALL, "frames")
         scope = {}
         if len(args) != len(fn.params):
             raise SolPanic(f"{fn.name}: arg count")
@@ -955,10 +961,10 @@ class SolContract:
         if kind == "name":
             n = e[1]
             if n in scope:
-                self.gas += GAS_VERYLOW
+                self.charge(GAS_VERYLOW, "vm")
                 return scope[n]
             if n in self.consts:
-                self.gas += GAS_VERYLOW
+                self.charge(GAS_VERYLOW, "vm")
                 return self.consts[n]
             if n in self.storage:
                 self.gas += (GAS_SLOAD_WARM if n in self._warm
@@ -1001,7 +1007,7 @@ class SolContract:
         if kind == "index":
             arr = self._eval(e[1], scope)
             idx = self._eval(e[2], scope)
-            self.gas += GAS_VERYLOW
+            self.charge(GAS_VERYLOW, "vm")
             if isinstance(arr, dict):  # storage mapping: absent slot = 0
                 key = (e[1][1], idx) if e[1][0] == "name" else id(arr)
                 self.gas += (GAS_SLOAD_WARM if key in self._warm
@@ -1053,8 +1059,9 @@ class SolContract:
         raise SolPanic(f"bad expression {e!r}")
 
     def _binop(self, op, a, b):
-        self.gas += GAS_MODARITH if op in ("addmod", "mulmod") else (
-            GAS_LOW if op in ("*", "/", "%", "**") else GAS_VERYLOW)
+        self.charge(GAS_MODARITH if op in ("addmod", "mulmod") else (
+            GAS_LOW if op in ("*", "/", "%", "**") else GAS_VERYLOW),
+            "arith")
         if op == "+":
             r = a + b
         elif op == "-":
@@ -1182,13 +1189,14 @@ class SolContract:
             a = self._eval(arg_exprs[0], scope)
             b = self._eval(arg_exprs[1], scope)
             m = self._eval(arg_exprs[2], scope)
-            self.gas += GAS_MODARITH
+            self.charge(GAS_MODARITH, "arith")
             if m == 0:
                 raise SolPanic("mod by zero")
             return (a + b) % m if fname == "addmod" else (a * b) % m
         if fname == "keccak256":
             data = self._eval(arg_exprs[0], scope)
-            self.gas += GAS_KECCAK + GAS_KECCAK_WORD * (-(-len(data) // 32))
+            self.charge(GAS_KECCAK + GAS_KECCAK_WORD * (-(-len(data) // 32)),
+                        "keccak")
             return B32(int.from_bytes(KK.keccak256(bytes(data)), "big"))
 
         # internal function
@@ -1224,7 +1232,7 @@ class SolContract:
                 out += int(a).to_bytes(32, "big")
             else:
                 raise SolPanic(f"encodePacked: {type(a)}")
-        self.gas += GAS_MEM_WORD * (-(-len(out) // 32))
+        self.charge(GAS_MEM_WORD * (-(-len(out) // 32)), "mem")
         return out
 
     def _abi_encode(self, args) -> bytes:
@@ -1235,12 +1243,12 @@ class SolContract:
                     out += int(w).to_bytes(32, "big")
             else:
                 out += int(a).to_bytes(32, "big")
-        self.gas += GAS_MEM_WORD * (-(-len(out) // 32))
+        self.charge(GAS_MEM_WORD * (-(-len(out) // 32)), "mem")
         return out
 
     # -- precompiles (Ethereum addresses 0x05..0x08)
     def _precompile(self, addr: int, payload: bytes):
-        self.gas += GAS_STATICCALL
+        self.charge(GAS_STATICCALL, "staticcall")
         words = [int.from_bytes(payload[i : i + 32], "big")
                  for i in range(0, len(payload), 32)]
         try:
@@ -1251,24 +1259,25 @@ class SolContract:
                 exp = int.from_bytes(payload[off + blen : off + blen + elen], "big")
                 mod = int.from_bytes(
                     payload[off + blen + elen : off + blen + elen + mlen], "big")
-                self.gas += modexp_gas(blen, exp, mlen)
+                self.charge(modexp_gas(blen, exp, mlen), "modexp")
                 if mod == 0:
                     return (True, b"\x00" * mlen)
                 return (True, pow(base, exp, mod).to_bytes(mlen, "big"))
             if addr == 0x06:  # ecAdd
-                self.gas += GAS_ECADD
+                self.charge(GAS_ECADD, "ecadd")
                 p1 = self._read_g1(words[0], words[1])
                 p2 = self._read_g1(words[2], words[3])
                 r = CG.add(p1, p2)
                 return (True, self._write_g1(r))
             if addr == 0x07:  # ecMul
-                self.gas += GAS_ECMUL
+                self.charge(GAS_ECMUL, "ecmul")
                 p = self._read_g1(words[0], words[1])
                 r = CG.scalar_mul(words[2], p)
                 return (True, self._write_g1(r))
             if addr == 0x08:  # pairing
                 k = len(words) // 6
-                self.gas += GAS_PAIRING_BASE + GAS_PAIRING_PAIR * k
+                self.charge(GAS_PAIRING_BASE + GAS_PAIRING_PAIR * k,
+                            "pairing")
                 pairs = []
                 for i in range(k):
                     g1 = self._read_g1(words[6 * i], words[6 * i + 1])
