@@ -68,7 +68,10 @@ def main():
         print(f"{os.path.basename(path)}: sol={os.path.getsize(path)}B",
               flush=True)
     engine = sys.argv[1] if len(sys.argv) > 1 else "host"
+    only = os.environ.get("ZKOS_GENERATOR_ONLY")
     for name, build in _examples(contract.consts.TREE_HEIGHT):
+        if only and name.lower() not in only.lower().split(","):
+            continue
         t0 = time.time()
         circ = sh.generate_keys_with_min_k(name.lower(), srs, build,
                                            max_k=max_k)

@@ -120,3 +120,31 @@ def test_msm_sorted_c16(rng):
     parr = jnp.asarray(M.points_to_affine_limbs(pts))
     sarr = jnp.asarray(F.to_limbs(scalars))
     assert M.msm_affine_ints(parr, sarr, c=16, steps=4) == CG.msm(scalars, pts)
+
+
+def test_msm_window_sums_batch(rng):
+    """The one-pass batched form (B*W windows) equals per-vector MSMs —
+    the engine's commit path; NEVER vmap the single form on TPU (Pallas
+    scratch corruption, msm.msm_window_sums_batch docstring)."""
+    pts = CG.random_points(rng, 16)
+    cols = [[int(rng.integers(0, 2**62)) for _ in range(16)]
+            for _ in range(4)]
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.stack([jnp.asarray(F.to_limbs(col), dtype=jnp.uint32)
+                      for col in cols])  # (4, 18, 16)
+    ws = M.msm_window_sums_batch(parr, sarr, c=8, steps=2)
+    for b, col in enumerate(cols):
+        assert M.fold_windows_host(np.asarray(ws[b]), 8) == CG.msm(col, pts)
+
+
+def test_msm_window_sums_batch_with_padding(rng):
+    """N not a multiple of lanes*steps exercises the batch padding."""
+    pts = CG.random_points(rng, 13)
+    cols = [[int(rng.integers(0, 2**62)) for _ in range(13)]
+            for _ in range(2)]
+    parr = jnp.asarray(M.points_to_affine_limbs(pts))
+    sarr = jnp.stack([jnp.asarray(F.to_limbs(col), dtype=jnp.uint32)
+                      for col in cols])
+    ws = M.msm_window_sums_batch(parr, sarr, c=8, steps=4)
+    for b, col in enumerate(cols):
+        assert M.fold_windows_host(np.asarray(ws[b]), 8) == CG.msm(col, pts)

@@ -480,6 +480,49 @@ def msm_window_sums(points_xy: jax.Array, scalar_limbs: jax.Array,
             [scalar_limbs, jnp.zeros((F.N_LIMBS, pad), jnp.uint32)], axis=-1)
         n += pad
     sdigits = limbs_to_digits_signed(scalar_limbs, c)  # (W, N)
+    return _window_sums_sorted(points_xy, sdigits, c, steps)
+
+
+@functools.partial(jax.jit, static_argnames=("c", "steps"))
+def msm_window_sums_batch(points_xy: jax.Array, scalar_batch: jax.Array,
+                          c: int = 13,
+                          steps: int | None = None) -> jax.Array:
+    """B independent MSMs against ONE shared point table, as one kernel.
+
+    scalar_batch: (B, 18, N) canonical limbs.  Returns (B, 3, 18, W).
+
+    The window axis of the sorted-scan pipeline is already a batch of
+    independent lanes, so the B scalar vectors simply become B*W windows
+    in a single pass — NEVER ``jax.vmap`` the single-MSM form: the Pallas
+    prefix-scan kernel keeps its running accumulator in VMEM scratch
+    across sequential grid steps, and a vmapped (appended) grid dimension
+    interleaves batch elements through that scratch, silently corrupting
+    every commitment (off-curve points out of the device engine on TPU).
+    """
+    bsz, _, n = scalar_batch.shape
+    if steps is None:
+        steps = min(_SCAN_STEPS_DEFAULT, max(1, n // 2048))
+    lanes = -(-n // steps)
+    lanes = 1 << (lanes - 1).bit_length()
+    pad = lanes * steps - n
+    if pad:
+        points_xy = jnp.concatenate(
+            [points_xy, jnp.broadcast_to(points_xy[:, :, :1],
+                                         (2, F.N_LIMBS, pad))], axis=-1)
+        scalar_batch = jnp.concatenate(
+            [scalar_batch,
+             jnp.zeros((bsz, F.N_LIMBS, pad), jnp.uint32)], axis=-1)
+        n += pad
+    digs = jax.vmap(lambda s: limbs_to_digits_signed(s, c))(scalar_batch)
+    w = digs.shape[1]
+    sdigits = digs.reshape(bsz * w, n)
+    t = _window_sums_sorted(points_xy, sdigits, c, steps)  # (3, 18, B*W)
+    return jnp.moveaxis(t.reshape(3, F.N_LIMBS, bsz, w), 2, 0)
+
+
+def _window_sums_sorted(points_xy: jax.Array, sdigits: jax.Array, c: int,
+                        steps: int) -> jax.Array:
+    """Shared sorted-scan pipeline over a (W, N) window-of-digits batch."""
     w_count = sdigits.shape[0]
     b = 1 << (c - 1)
 

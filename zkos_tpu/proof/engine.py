@@ -452,11 +452,14 @@ def srs_affine_table(srs, n: int) -> jax.Array:
 
 @jax.jit
 def commit_table(table: jax.Array, coeff_mont: jax.Array) -> jax.Array:
-    """Batched commit: (2,18,n) table x (18,n,B) Montgomery coeffs."""
+    """Batched commit: (2,18,n) table x (18,n,B) Montgomery coeffs.
+
+    Routes through msm_window_sums_batch (B*W windows in one pass) —
+    vmapping the single-MSM form corrupts the Pallas scan's VMEM scratch
+    on TPU (see msm.msm_window_sums_batch docstring)."""
     canon = F.from_mont(FR, coeff_mont)
     sc = jnp.moveaxis(canon, -1, 0)  # (B, 18, n)
-    c = msm_c(table.shape[-1])
-    return jax.vmap(lambda s: M.msm_window_sums(table, s, c=c))(sc)
+    return M.msm_window_sums_batch(table, sc, c=msm_c(table.shape[-1]))
 
 
 @jax.jit
@@ -578,9 +581,7 @@ class DeviceProverKey:
     def commit_many(self, coeff_mont):  # (18, n, B) -> (B, 3, 18, W)
         canon = F.from_mont(FR, coeff_mont)
         sc = jnp.moveaxis(canon, -1, 0)  # (B, 18, n)
-        return jax.vmap(
-            lambda s: M.msm_window_sums(self.srs_table, s,
-                                        c=msm_c(self.n)))(sc)
+        return M.msm_window_sums_batch(self.srs_table, sc, c=msm_c(self.n))
 
     def fold_commits(self, wsums) -> list:
         """(B, 3, 18, W) window sums -> list of affine int points."""
