@@ -119,26 +119,56 @@ contract DepositVerifier {
         return acc;
     }
 
-    function lag(uint256 x, uint256 zh, uint256 i)
-        internal view returns (uint256) {
-        uint256 wi = 1;
-        for (uint256 j = 0; j < i; j++) wi = mulmod(wi, OMEGA, R);
-        return mulmod(mulmod(zh, wi, R),
-            mulmod(N_INV, inv(addmod(x, R - wi, R)), R), R);
+    // l_i(x) = zh * w^i * N_INV / (x - w^i); the caller supplies w^i
+    // (built incrementally) and the batch-inverted denominator — the
+    // O(i) omega loop + per-value modexp of the naive form cost ~300k
+    // gas at k=11 (template :399-471 batches exactly like this)
+    function lagW(uint256 zh, uint256 wi, uint256 dinv)
+        internal pure returns (uint256) {
+        return mulmod(mulmod(zh, wi, R), mulmod(N_INV, dinv, R), R);
+    }
+
+    // Montgomery batch inversion: one modexp for any number of values
+    function batchInv(uint256[] memory v)
+        internal view returns (uint256[] memory) {
+        uint256 m = v.length;
+        uint256[] memory pre = new uint256[](m);
+        uint256 acc = 1;
+        for (uint256 i = 0; i < m; i++) {
+            pre[i] = acc;
+            acc = mulmod(acc, v[i], R);
+        }
+        uint256 ai = inv(acc);
+        uint256[] memory out = new uint256[](m);
+        for (uint256 i = m; i > 0; i--) {
+            out[i - 1] = mulmod(ai, pre[i - 1], R);
+            ai = mulmod(ai, v[i - 1], R);
+        }
+        return out;
     }
 
     function interpAt(uint256[] memory pts, uint256[] memory vals,
                       uint256 mu) internal view returns (uint256) {
+        if (pts.length == 1) return vals[0];
         uint256 acc;
+        uint256[] memory dens = new uint256[](pts.length);
         for (uint256 i = 0; i < pts.length; i++) {
-            uint256 num = 1; uint256 den = 1;
+            uint256 den = 1;
+            for (uint256 j = 0; j < pts.length; j++) {
+                if (i == j) continue;
+                den = mulmod(den, addmod(pts[i], R - pts[j], R), R);
+            }
+            dens[i] = den;
+        }
+        uint256[] memory dinv = batchInv(dens);
+        for (uint256 i = 0; i < pts.length; i++) {
+            uint256 num = 1;
             for (uint256 j = 0; j < pts.length; j++) {
                 if (i == j) continue;
                 num = mulmod(num, addmod(mu, R - pts[j], R), R);
-                den = mulmod(den, addmod(pts[i], R - pts[j], R), R);
             }
             acc = addmod(acc, mulmod(vals[i],
-                mulmod(num, inv(den), R), R), R);
+                mulmod(num, dinv[i], R), R), R);
         }
         return acc;
     }
@@ -244,14 +274,40 @@ contract DepositVerifier {
         }
         uint256 zh = addmod(xN, R - 1, R);
         uint256 instanceEval;
-        uint256 l0 = lag(x, zh, 0);
-        uint256 lLast = lag(x, zh, N - uint256(-ROT_LAST));
-        uint256 lBlind;
-        for (uint256 i = N - uint256(-ROT_LAST) + 1; i < N; i++)
-            lBlind = addmod(lBlind, lag(x, zh, i), R);
-        for (uint256 i = 0; i < instances.length; i++)
-            instanceEval = addmod(instanceEval,
-                mulmod(instances[i], lag(x, zh, i), R), R);
+        uint256 l0; uint256 lLast; uint256 lBlind; uint256 zhInv;
+        {
+            // rows 0..n_inst-1 use w^i (incremental); the last/blinding
+            // rows n-bl..n-1 use w^{-k} = OMEGA_INV^k — no O(n) loops
+            uint256 bl = uint256(-ROT_LAST);
+            uint256 m = instances.length + bl + 1;
+            uint256[] memory dens = new uint256[](m);
+            uint256[] memory ws = new uint256[](m);
+            uint256 wi = 1;
+            for (uint256 i = 0; i < instances.length; i++) {
+                ws[i] = wi;
+                dens[i] = addmod(x, R - wi, R);
+                wi = mulmod(wi, OMEGA, R);
+            }
+            wi = OMEGA_INV;
+            for (uint256 i = 0; i < bl; i++) {
+                ws[instances.length + i] = wi;
+                dens[instances.length + i] = addmod(x, R - wi, R);
+                wi = mulmod(wi, OMEGA_INV, R);
+            }
+            dens[m - 1] = zh;
+            uint256[] memory dinv = batchInv(dens);
+            zhInv = dinv[m - 1];
+            l0 = lagW(zh, ws[0], dinv[0]);
+            for (uint256 i = 0; i < instances.length; i++)
+                instanceEval = addmod(instanceEval, mulmod(instances[i],
+                    lagW(zh, ws[i], dinv[i]), R), R);
+            // descending rows n-1 .. n-bl: the last one is L_last
+            lLast = lagW(zh, ws[m - 2], dinv[m - 2]);
+            for (uint256 i = 0; i < bl - 1; i++)
+                lBlind = addmod(lBlind, lagW(zh,
+                    ws[instances.length + i],
+                    dinv[instances.length + i]), R);
+        }
         uint256 active = addmod(1, R - addmod(lLast, lBlind, R), R);
 
         // quotient numerator, y-Horner (evaluator.rs order)
@@ -344,7 +400,7 @@ contract DepositVerifier {
         numer = addmod(mulmod(numer, y, R), mulmod(addmod(mulmod(lk[1], mulmod(addmod(lk[2], beta, R), addmod(lk[4], gamma, R), R), R), R - mulmod(lk[0], mulmod(addmod(a[24], beta, R), addmod(f[27], gamma, R), R), R), R), active, R), R);
         numer = addmod(mulmod(numer, y, R), mulmod(l0, addmod(lk[2], R - lk[4], R), R), R);
         numer = addmod(mulmod(numer, y, R), mulmod(mulmod(addmod(lk[2], R - lk[4], R), addmod(lk[2], R - lk[3], R), R), active, R), R);
-        uint256 quotientEval = mulmod(numer, inv(zh), R);
+        uint256 quotientEval = mulmod(numer, zhInv, R);
 
         // fold quotient commitment by x^n (template :496-514)
         uint256 qcX = qc2[2 * (NUM_QUOTIENTS - 1)];
@@ -367,6 +423,32 @@ contract DepositVerifier {
         uint256 z0Mu = 1;
         z0Mu = mulmod(z0Mu, addmod(mu, R - rotPoint(x, 0), R), R);
         z0Mu = mulmod(z0Mu, addmod(mu, R - rotPoint(x, 1), R), R);
+        uint256[] memory zsArr = new uint256[](4);
+        {
+            uint256 zp_ = 1;
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, 0), R), R);
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, 1), R), R);
+            zsArr[0] = zp_;
+        }
+        {
+            uint256 zp_ = 1;
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, 0), R), R);
+            zsArr[1] = zp_;
+        }
+        {
+            uint256 zp_ = 1;
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, -6), R), R);
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, 0), R), R);
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, 1), R), R);
+            zsArr[2] = zp_;
+        }
+        {
+            uint256 zp_ = 1;
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, -1), R), R);
+            zp_ = mulmod(zp_, addmod(mu, R - rotPoint(x, 0), R), R);
+            zsArr[3] = zp_;
+        }
+        uint256[] memory zsInvArr = batchInv(zsArr);
         // rotation set 0: rotations [0, 1]
         {
             uint256 cx; uint256 cy; uint256 zp = 1;
@@ -434,10 +516,7 @@ contract DepositVerifier {
             ce[0] = addmod(ce[0], mulmod(zp, lk[0], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, lk[1], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 zsMu = 1;
-            for (uint256 i = 0; i < 2; i++)
-                zsMu = mulmod(zsMu, addmod(mu, R - pts[i], R), R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, inv(zsMu), R), R);
+            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[0], R), R);
             (tx_, ty_) = ecMul(cx, cy, scale);
             (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
@@ -739,10 +818,7 @@ contract DepositVerifier {
             (cx, cy) = ecAdd(cx, cy, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, randomEval, R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 zsMu = 1;
-            for (uint256 i = 0; i < 1; i++)
-                zsMu = mulmod(zsMu, addmod(mu, R - pts[i], R), R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, inv(zsMu), R), R);
+            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[1], R), R);
             (tx_, ty_) = ecMul(cx, cy, scale);
             (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
@@ -791,10 +867,7 @@ contract DepositVerifier {
             ce[1] = addmod(ce[1], mulmod(zp, z[12], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[13], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 zsMu = 1;
-            for (uint256 i = 0; i < 3; i++)
-                zsMu = mulmod(zsMu, addmod(mu, R - pts[i], R), R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, inv(zsMu), R), R);
+            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[2], R), R);
             (tx_, ty_) = ecMul(cx, cy, scale);
             (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
@@ -813,10 +886,7 @@ contract DepositVerifier {
             ce[0] = addmod(ce[0], mulmod(zp, lk[3], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, lk[2], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 zsMu = 1;
-            for (uint256 i = 0; i < 2; i++)
-                zsMu = mulmod(zsMu, addmod(mu, R - pts[i], R), R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, inv(zsMu), R), R);
+            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[3], R), R);
             (tx_, ty_) = ecMul(cx, cy, scale);
             (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
