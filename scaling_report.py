@@ -22,7 +22,7 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
@@ -121,13 +121,24 @@ def report():
     for nd in (1, 2, 4, 8):
         mesh = mesh_mod.data_mesh(nd)
         sp = shp.ShardedProver(pk11, mesh)
-        t = timeit(lambda: sp.commit(poly), iters=2)
+
+        def t_host(fn, iters=2):
+            # these return host python values (already synchronized)
+            fn()
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t = t_host(lambda: sp.commit(poly))
         results["prove_commit"][nd] = {
             "wall_ms": round(t * 1e3, 1),
             "commits_per_s_per_device": round(1 / t / nd, 4)}
         print(f"deposit commit (k={meta['k']}) @ {nd} dev: {t*1e3:.0f} ms",
               flush=True)
-        t = timeit(lambda: sp.coset_extended_eval(poly), iters=2)
+        t = t_host(lambda: sp.coset_extended_eval(poly))
         results["prove_coset_ext"][nd] = {
             "wall_ms": round(t * 1e3, 1),
             "exts_per_s_per_device": round(1 / t / nd, 4)}

@@ -24,7 +24,11 @@ os.environ.setdefault("ZKOS_PROVER_ENGINE", "host")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# CPU-side persistent cache lives in its OWN directory: concurrent
+# writes from a TPU bench/warm process into the same cache dir were
+# observed to segfault readers mid-deserialization (two full-suite
+# crashes in jax compilation_cache.get_executable_and_time)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

@@ -138,13 +138,24 @@ def test_msm_window_sums_batch(rng):
 
 
 def test_msm_window_sums_batch_with_padding(rng):
-    """N not a multiple of lanes*steps exercises the batch padding."""
+    """N not a multiple of lanes*steps exercises the batch padding.
+
+    Runs EAGERLY: XLA:CPU segfaults compiling this exact batched+padded
+    graph when it is compiled late in a long suite process (3/3 full-suite
+    runs crashed in backend_compile here; the same test passes solo and
+    the unpadded batch graph compiles fine).  The numerics are what this
+    test pins; the engine itself only commits power-of-two domains, so
+    the padded batch shape never reaches a production compile.
+    """
+    import jax
+
     pts = CG.random_points(rng, 13)
     cols = [[int(rng.integers(0, 2**62)) for _ in range(13)]
             for _ in range(2)]
     parr = jnp.asarray(M.points_to_affine_limbs(pts))
     sarr = jnp.stack([jnp.asarray(F.to_limbs(col), dtype=jnp.uint32)
                       for col in cols])
-    ws = M.msm_window_sums_batch(parr, sarr, c=8, steps=4)
+    with jax.disable_jit():
+        ws = M.msm_window_sums_batch(parr, sarr, c=8, steps=4)
     for b, col in enumerate(cols):
         assert M.fold_windows_host(np.asarray(ws[b]), 8) == CG.msm(col, pts)
