@@ -67,7 +67,12 @@ from zkos_tpu.ops import poseidon2 as P2  # noqa: E402
 
 MSM_LOG_N = 20
 MSM_C_SAFE = 13      # last config that completed a full bench (BENCH_r02)
-MSM_C_EXPERIMENT = 16  # profiled faster at 2^19 (profile_msm.py) — attempt
+# c=16 profiled faster at 2^19 (profile_msm.py) but its XLA graph takes
+# >900 s to compile on this 2-vCPU host (killed at the sub-budget in both
+# r03's driver run and the r04 in-round run) — an unpayable cold-start
+# even with the persistent cache, since a killed compile writes nothing.
+# c=14 is the experiment: same sorted-scan pipeline, 2x buckets of c=13.
+MSM_C_EXPERIMENT = 14
 POSEIDON_LOG_B = 16
 BASELINE_MSM_PTS_PER_S = 1.0e6
 BASELINE_PROVE_MS = 700.0  # reference 600-800 ms midpoint
@@ -285,7 +290,7 @@ def main() -> None:
 
     # 3. risky sections, each in its own budgeted subprocess
     if os.environ.get("ZKOS_BENCH_SKIP_MSM_EXP") != "1":
-        pps = _sub("msm-experiment", "MSM_PPS", min_budget=60, cap=900)
+        pps = _sub("msm-experiment", "MSM_PPS", min_budget=60, cap=600)
         if pps is not None and pps > res.get("msm", 0.0):
             res["msm"] = round(pps, 1)
             res["msm_c"] = MSM_C_EXPERIMENT
