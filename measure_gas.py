@@ -18,7 +18,9 @@ import random
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from zkos_tpu.utils import machine as _machine
+jax.config.update("jax_compilation_cache_dir",
+                  _machine.cache_dir("/root/repo/.jax_cache"))
 
 ART = os.path.join(os.path.dirname(__file__), "artifacts")
 

@@ -22,7 +22,9 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+from zkos_tpu.utils import machine as _machine
+jax.config.update("jax_compilation_cache_dir",
+                  _machine.cache_dir("/root/repo/.jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402

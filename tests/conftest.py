@@ -28,7 +28,10 @@ jax.config.update("jax_platforms", "cpu")
 # writes from a TPU bench/warm process into the same cache dir were
 # observed to segfault readers mid-deserialization (two full-suite
 # crashes in jax compilation_cache.get_executable_and_time)
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+from zkos_tpu.utils import machine as _machine  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  _machine.cache_dir("/root/repo/.jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
@@ -38,6 +41,20 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _stop_leaked_service_threads():
+    """Stop any Taskmaster monitor/worker threads a test leaked.
+
+    A BalanceMonitor loop left running bleeds into later tests (observed
+    still sampling during unrelated XLA compiles in full-suite crash
+    dumps); shut every live fleet down after each test.
+    """
+    yield
+    from zkos_tpu.srv import relayer
+
+    relayer.shutdown_all()
 
 
 def pytest_sessionstart(session):

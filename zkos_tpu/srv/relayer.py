@@ -18,6 +18,7 @@ import json
 import queue
 import threading
 import time
+import weakref
 from dataclasses import dataclass, field as dc_field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -29,6 +30,18 @@ from . import price_feed as pf
 RELAY_QUEUE_CAPACITY = 1024  # relay/mod.rs:28
 OPTIMISTIC_DRY_RUN_THRESHOLD = 32  # relay/mod.rs:29
 QUOTE_TTL_S = 30.0
+
+# Live fleets, so test fixtures can stop every monitor/worker thread a test
+# spawned even when the test itself never calls shutdown() — leaked
+# BalanceMonitor loops were observed still sampling during later, unrelated
+# tests in the same process.
+_LIVE_TASKMASTERS: "weakref.WeakSet[Taskmaster]" = weakref.WeakSet()
+
+
+def shutdown_all() -> None:
+    """Stop every live Taskmaster's monitors and workers (test teardown)."""
+    for tm in list(_LIVE_TASKMASTERS):
+        tm.shutdown()
 
 
 @dataclass
@@ -221,6 +234,8 @@ class BalanceMonitor:
 
     def stop(self):
         self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=1.0)
 
 
 @dataclass
@@ -265,6 +280,7 @@ class Taskmaster:
             for key in signer_keys]
         for w in self.workers:
             w.start()
+        _LIVE_TASKMASTERS.add(self)
 
     # -- quoting --
 
@@ -378,6 +394,9 @@ class Taskmaster:
 
     def shutdown(self):
         self._stop.set()
+        self.balance_monitor.stop()
+        for w in self.workers:
+            w.join(timeout=1.0)
 
     @classmethod
     def from_config(cls, sim: ShielderSim, server_config) -> "Taskmaster":
