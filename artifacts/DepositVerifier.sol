@@ -97,6 +97,7 @@ contract DepositVerifier {
     function ecMul(uint256 px, uint256 py, uint256 k)
         internal view returns (uint256, uint256) {
         if (k == 0 || (px == 0 && py == 0)) return (0, 0);
+        if (k == 1) return (px, py);
         (bool ok, bytes memory out) = address(0x07).staticcall(
             abi.encode(px, py, k));
         require(ok, "ecMul");
@@ -451,382 +452,376 @@ contract DepositVerifier {
         uint256[] memory zsInvArr = batchInv(zsArr);
         // rotation set 0: rotations [0, 1]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[0], R), R);
             uint256[] memory ce = new uint256[](2);
             uint256[] memory pts = new uint256[](2);
             pts[0] = rotPoint(x, 0);
             pts[1] = rotPoint(x, 1);
             (tx_, ty_) = (adv[0], adv[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[0], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[8], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[2], adv[3]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[1], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[9], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[4], adv[5]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[2], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[6], adv[7]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[3], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[11], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[8], adv[9]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[4], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[12], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[10], adv[11]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[5], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[13], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[12], adv[13]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[6], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[14], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[14], adv[15]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[7], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[15], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[10], zc[11]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[15], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (lkz[0], lkz[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, lk[0], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, lk[1], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[0], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
         // rotation set 1: rotations [0]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[1], R), R);
             uint256[] memory ce = new uint256[](1);
             uint256[] memory pts = new uint256[](1);
             pts[0] = rotPoint(x, 0);
             (tx_, ty_) = (adv[16], adv[17]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[18], adv[19]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[17], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[20], adv[21]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[18], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[22], adv[23]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[19], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[24], adv[25]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[20], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[26], adv[27]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[21], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[28], adv[29]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[22], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[30], adv[31]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[23], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[32], adv[33]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[24], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (lkp[2], lkp[3]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, lk[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (15431294852512883028240966414530712298127834678580180439246157265791270608469, 641535221808228104800064690861379893681685850218588118670373969708282469370);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[0], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (11529434197042969353100629273871078409626596856272468365476069253968344820951, 1557122385534112212193534245040890006661609286259230771808216524675710458143);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[1], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (4389025086520140163167848349774340240015519826350703192602230493812549381980, 4987596432580388579534839153899138254794688648193195926392671606537686929633);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[2], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (7607644308580801485492979075370110363347867905667921048721735489874269207675, 19945911627658027562589845053483857934775198331486073538538204977490430616581);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[3], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1481322194583398264156246293436294729602157794130644259559188500175113436736, 12104649103290909272858608094656407593546858122672791058691692581965265349770);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (13635710794169544176280689841999001299795379584513645473213927935911097773554, 3941644943612419916681106480384093615600323584596290564171719096071183413194);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[5], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8831239664066848040923142239627732753879578267668216265478232745843499178819, 11755705389056323709983062132539273443665249036946407209474109548278092785674);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[6], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (13635710794169544176280689841999001299795379584513645473213927935911097773554, 3941644943612419916681106480384093615600323584596290564171719096071183413194);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[7], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1220494789730793226604523644507661066490730819957624483159604650403035250168, 3315027119355293614616430456019666130117066317331527187303905815289961952966);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[8], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (13635710794169544176280689841999001299795379584513645473213927935911097773554, 3941644943612419916681106480384093615600323584596290564171719096071183413194);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[9], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (16676066408238417343389677497554889337958048375278239327947803548189578776625, 21785554937213342494557271918837679515067797063875428334366786782363582625814);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (5016154020478823360140870234833729692723518543380026251081753807025889150352, 6205332161516371491399499767897271609207809990630287046507749889028291188970);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[11], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (16040723733286485120507224241568764933284709531985076445572040814598879187462, 19665512835817745735329566240146512623475484345120526504251061258701676548868);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[12], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (5016154020478823360140870234833729692723518543380026251081753807025889150352, 6205332161516371491399499767897271609207809990630287046507749889028291188970);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[13], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (4664046755441254759708865526914195144597146399740927765281844902698151897429, 16098365311615548615599708838816868697590584439112707391896484349181675514522);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[14], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (3168861366130031600726369488771995418437394412365770803277819239820832142513, 21409901707073362927092335730490331942864772495971970492022779923289135610260);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[15], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (2179992348075825517047326515783876178970148172338699604895000078858669726114, 331669175337155465396955903161455056592478130271233532482731656241302190999);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (6985341593347757338331160413044249905258479940806959660734678403063078446389, 15522281326175578673304436821605313684469374517871932879503809833891805303347);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[17], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8495262482183254193089508180812520750341910542121488833324029978622105631345, 20537181829713275725091862182786026746920468485731287855046992341025669027742);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[18], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (17408327530392849255356988826530759820409796738814068577595501201670927564228, 4098228059420632198450135698426979929962497103696668668622313214437796597105);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[19], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (0, 0);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[20], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (0, 0);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[21], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (0, 0);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[22], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (0, 0);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[23], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (9102590121319964322208415028541799984361349760588362000211779004375944161089, 13856125546877209187931511692485504272704379971882036212555085018586058184480);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[24], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (2792665300969171872564941447494049220739997066457360635114675848956839629159, 19688630479523217043423250987763988746835995165749182979578350732688649196036);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[25], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (9502647150654462084213160880550614887914931136366582779406028827663428244534, 5157059018929948622965051028282234229006570715833467778250113170815590681544);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[26], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (6427769946638081532196954127260174004273486433917520622007753828730686062435, 10318206124670665278212750144961784454084713268394018222598946936313231545956);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[27], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (7502303034987187005077656465847730755195914753304067407897691886519803200341, 11362792646717395410156893560764798520919320425614990907810832573786642456584);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[0], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8442947630608431499264662695554306540302876433251458644504432491811157654269, 10510122981409942067902112508551891753155943641806130210396664039008274647296);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[1], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (17716206839103032317607460211154281856197762050525247680327116856305762423567, 19569167073323022262405967191291171155043501057310484415791848707448711980435);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[2], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (13408405524191671536171931203376156488265373974604813115583446439530351497305, 13762724765291475106821245502444415404850089740534680467556064140812442410596);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[3], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (14832469615978540364061772609948956403007277090372662454922771812353454481629, 14634942771195424704202992338935912211214446714873089621443128814616607573198);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8183751720260794449150059312359643059766759861312833967624336680576254929565, 9865883350261016641012360930380851631297334105383502406861378615532620439694);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[5], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (11536989761520356225980924626407966296879522005334868689364004191422108500104, 19188474585955407555365946620151798054521366033047222639985821776449008692714);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[6], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (20318528108778371758074006870125851412284638266353614275777855351831032659785, 7900945160976937374139865294003573133080178872138911291603641550813846402252);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[7], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (4714279661863035741371084394880419524287397256785781112622936917525607040176, 20156746969217662369529787139522943201647002832906175135750098836834714231174);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[8], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (12214869768576465737320041609912413735614877637966973847019065725069890071178, 21832414048286207978334234135715378692432141890776010023633012014067657078797);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[9], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18679894649619847921464357536547392415877510883786012993196681695405033494481, 19002683524858699105733946378657595936488715182331540876438770582864210016024);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (2929738294769775085868747876808689752981058118515824520789118120178653704071, 10643341758704351960803201419462127158780322682037223928962950176071406994880);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[11], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (21286086877113261528551232837732322164264459169575962694077633486989956138448, 21801723085948977172671461392044835558033917081453091659581941482974505602459);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[12], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (20682157806372383227003142003281378700888791161662955856069899466185159833144, 17303474010430214604763772678333257414310805790161454946225918882559673709673);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[13], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (11380050293726425311350240944944411762569336749609644759001139153152712662908, 12564426972160639743851516318383625110764111664565439273719436565436085418846);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[14], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (2978318633393177901311143456479951477885086872495595679766773709170333723511, 9923667590625823384550916559919474342148332061202606609760350396291140376554);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[15], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18903645120140266176569577643905051395380103816523075129000350587585153834988, 19362635871824219850430755451540860600161736255084601596866057695838259770996);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (11997251111124787870058962571619212041846997702149007238119360183801489576596, 18556887719693991281213303093050213718476234303570590174655434922274443402930);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[17], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (qcX, qcY);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, quotientEval, R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (randX, randY);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, randomEval, R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[1], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
         // rotation set 2: rotations [-6, 0, 1]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[2], R), R);
             uint256[] memory ce = new uint256[](3);
             uint256[] memory pts = new uint256[](3);
             pts[0] = rotPoint(x, -6);
@@ -834,62 +829,56 @@ contract DepositVerifier {
             pts[2] = rotPoint(x, 1);
             (tx_, ty_) = (zc[0], zc[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[2], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[0], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[1], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[2], zc[3]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[5], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[3], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[4], zc[5]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[8], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[6], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[7], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[6], zc[7]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[11], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[9], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[8], zc[9]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[14], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[12], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[13], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[2], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
         // rotation set 3: rotations [-1, 0]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[3], R), R);
             uint256[] memory ce = new uint256[](2);
             uint256[] memory pts = new uint256[](2);
             pts[0] = rotPoint(x, -1);
             pts[1] = rotPoint(x, 0);
             (tx_, ty_) = (lkp[0], lkp[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, lk[3], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, lk[2], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[3], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
 

@@ -97,6 +97,7 @@ contract NewAccountVerifier {
     function ecMul(uint256 px, uint256 py, uint256 k)
         internal view returns (uint256, uint256) {
         if (k == 0 || (px == 0 && py == 0)) return (0, 0);
+        if (k == 1) return (px, py);
         (bool ok, bytes memory out) = address(0x07).staticcall(
             abi.encode(px, py, k));
         require(ok, "ecMul");
@@ -451,382 +452,376 @@ contract NewAccountVerifier {
         uint256[] memory zsInvArr = batchInv(zsArr);
         // rotation set 0: rotations [0, 1]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[0], R), R);
             uint256[] memory ce = new uint256[](2);
             uint256[] memory pts = new uint256[](2);
             pts[0] = rotPoint(x, 0);
             pts[1] = rotPoint(x, 1);
             (tx_, ty_) = (adv[0], adv[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[0], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[8], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[2], adv[3]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[1], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[9], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[4], adv[5]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[2], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[6], adv[7]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[3], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[11], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[8], adv[9]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[4], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[12], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[10], adv[11]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[5], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[13], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[12], adv[13]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[6], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[14], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[14], adv[15]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[7], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, a[15], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[10], zc[11]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[15], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (lkz[0], lkz[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, lk[0], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, lk[1], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[0], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
         // rotation set 1: rotations [0]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[1], R), R);
             uint256[] memory ce = new uint256[](1);
             uint256[] memory pts = new uint256[](1);
             pts[0] = rotPoint(x, 0);
             (tx_, ty_) = (adv[16], adv[17]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[18], adv[19]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[17], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[20], adv[21]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[18], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[22], adv[23]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[19], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[24], adv[25]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[20], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[26], adv[27]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[21], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[28], adv[29]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[22], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[30], adv[31]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[23], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (adv[32], adv[33]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, a[24], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (lkp[2], lkp[3]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, lk[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (10761841431788824022233957582461477271780556878376757723158107285214839767292, 8882977331198580261560957129983569979440888766201022657322620694324717807240);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[0], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (16338918086005698922976287977867378373894846816572091186964491288247421756223, 18459296561367694475271403825952268279851201674618684319515197558115579309521);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[1], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1703674188681626705103939338053596535815985869643485723784899872903193640899, 7759237872067992829462126242224706595377680338706943207783958643017970786724);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[2], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8036967098614057107558187792822642242127940957955205526209963190229995475211, 7003997263337390769589201019108468196675503986059625545268636004432216434945);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[3], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (9581496332961031963510430798571198847666707962068327396679421839017529887046, 13358310531402813662980113630016218398022201827872040835641992378155511709204);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18357662965593520589272878919734426286315150530481490222815995587508003324034, 11520810770142710315021044630993528037724307071363721343711390059462298099891);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[5], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (14565040791698585236398647100790626247465445771733580305924165588655088609125, 1632677480877904258787917941751277320471486390758626266700854995240509994140);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[6], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18357662965593520589272878919734426286315150530481490222815995587508003324034, 11520810770142710315021044630993528037724307071363721343711390059462298099891);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[7], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (3722163044395998350869612796103937307397511278123117086993926553711483870954, 12272045429291803758820548799409810469335728446318195956550482025633328049622);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[8], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18357662965593520589272878919734426286315150530481490222815995587508003324034, 11520810770142710315021044630993528037724307071363721343711390059462298099891);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[9], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18096030728119251886311039123366051649965445252147447274088645733765792065834, 20214694682031693090213066011719644030225264308073634583671235598535006243961);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (19973728555305448861646638800244477162140899165133595712833366230104662264290, 5909238759047120276446293522340855957482865052895408520582580536765679638720);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[11], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (4272695848227714572072356737257463002515644594502443548976865095650589775064, 4075059354059048819410493084962198116109830042143776575784777633005072474375);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[12], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (19973728555305448861646638800244477162140899165133595712833366230104662264290, 5909238759047120276446293522340855957482865052895408520582580536765679638720);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[13], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (14845238098498944926552093792019010661798252725311049036399464589660821130604, 13529034464278948546472962218221958831096359853836835008524002597318424831618);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[14], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (17612720140697725898081774696496859499767713554595119922752814149825576231426, 20560755171660710436444774897572908022919284781202570180162729889789652811010);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[15], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (20639226042054660352376200208991755320090794919940906652067151365624752996828, 15612327268191315763676130589577230726200495682418193498363204934926989308293);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (19973728555305448861646638800244477162140899165133595712833366230104662264290, 5909238759047120276446293522340855957482865052895408520582580536765679638720);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[17], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (3587380699139582009906315539701962631518413466637803745010048365303425825048, 14683037487267863675117441493782642211391107160662349979863388505320861039129);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[18], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (19370411890607978225123191267095803215683201502922470659057153064416347639231, 11726679676736559094867599069506119118325225987345647880489850292815964248816);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[19], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (21762428411707174400239650640768437900882985853290683440204205629468977092525, 7672369093011147492276175635358749342335469981748591407029559192055728235907);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[20], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (3691315229113903990043986100784826900227793028475921816154058797254075669184, 6942543906274828306548656876836550239208367384621465961909227534038258073268);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[21], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (5117234711659221107611066077123750167516916677588007995290572410541724083681, 14556730370572138112303320891438140320198260525384672005148963816924219778593);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[22], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (7230723088572037275912000973605973134239084542447170950858567311486651136200, 14853012985934558181154584339175760085131141262162455986285445073086076131717);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[23], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (0, 0);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[24], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (0, 0);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[25], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (14512328794087190163704763382149060753231765065028199564139431310590250561964, 14740082228180871110373517959826523842806431814337714391030811703529429384452);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[26], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (11682493857610932416320169733059733922434328791304907057271169493300112318666, 18318368432232170279081542566398666771187586625284899694151395338794810071387);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, f[27], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (16381256350386219435391708189234102547453146258397971237799302972494539773587, 8223617787075859115235579155838144313733256249562863689414825081363440057788);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[0], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (11495044797548318069680354240785047892628453839316686024400443188550405091987, 19197435167529151297673729777484593774951157709827413955320063425142322461519);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[1], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (3929597722803156653106881162116782832399816202313440911428184520185735848331, 12496121096670637205350756685037009266381749076635127054214566659779057376256);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[2], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1719864425613648169876297102234904280788423024024295016575578835884948621947, 1015450407447650642620679302680757521544767570523724039126384055459993141535);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[3], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8965743161288025038012560021769924637284697863359988190837873456945661919979, 2630249948994860404535304585100505237831961095317797232871436368925375136124);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (778273768014344650377081136181033811120647518664821431250212109875319715425, 12741926046287605779270686939113582327960719414553730676157550360059445200097);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[5], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (7109875419326601262479945004015608140941696869760045484039132363999957138444, 5465347358306247250740401810363883349187418945984647564567359845579394721180);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[6], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1842332451070506555790194712751378330027786301383953265260214512411139296780, 19986532106688852957047778618183107596653536474260868411305295956082510852653);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[7], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (20843747207664799065399931467089198675688914801557001794759935454287143057499, 9217855180543182731974428556408813525086363537428245855136941296431620763200);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[8], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (13318990016151735816016229874058150828417834695059185763621100435547815455220, 9162553196538561539042167958231886181149796780102287686357137873339642400209);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[9], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (3733536078793020642459824193586740541649358139466483472842333741150002918881, 875134861037672492779808887272158616335504622103542604554009664999471850981);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1575871461130868946348010074050531364113610971740899818774464584660675354629, 18434452934228388796061163516509673237347120026751666829397690620761499637229);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[11], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (9718175688258744600984005228833773459763982735450570599442225661891131091778, 5095948833663360053755013763511566787304095396143462166054072318258438119216);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[12], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (1932099530610319140003486020458540491799900911512743684688684305245042601598, 19304394804552709326463525954763526665860307772339318429470986877979551235870);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[13], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (691450101491262826223434689932471717346612651309898918083541772725784513618, 18315329697269445962579754402400020813974683449186421914130578551322547525522);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[14], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (8192723737494951861038021905026394869446893574284715650947352361618872246490, 14329514713451473837737412093524687260521677055740711845490421144183070570482);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[15], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (18903645120140266176569577643905051395380103816523075129000350587585153834988, 19362635871824219850430755451540860600161736255084601596866057695838259770996);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[16], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (20937564221725395992936105562448975357684889741811392449553175376002688666232, 308208213519899356846315182189074740195945555308664782564566597252344010964);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, s[17], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (qcX, qcY);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, quotientEval, R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (randX, randY);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, randomEval, R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[1], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
         // rotation set 2: rotations [-6, 0, 1]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[2], R), R);
             uint256[] memory ce = new uint256[](3);
             uint256[] memory pts = new uint256[](3);
             pts[0] = rotPoint(x, -6);
@@ -834,62 +829,56 @@ contract NewAccountVerifier {
             pts[2] = rotPoint(x, 1);
             (tx_, ty_) = (zc[0], zc[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[2], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[0], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[1], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[2], zc[3]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[5], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[3], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[4], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[4], zc[5]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[8], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[6], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[7], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[6], zc[7]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[11], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[9], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[10], R), R);
             zp = mulmod(zp, zeta, R);
             (tx_, ty_) = (zc[8], zc[9]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, z[14], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, z[12], R), R);
             ce[2] = addmod(ce[2], mulmod(zp, z[13], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[2], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
         // rotation set 3: rotations [-1, 0]
         {
-            uint256 cx; uint256 cy; uint256 zp = 1;
+            uint256 zp = mulmod(nuPow, mulmod(z0Mu, zsInvArr[3], R), R);
             uint256[] memory ce = new uint256[](2);
             uint256[] memory pts = new uint256[](2);
             pts[0] = rotPoint(x, -1);
             pts[1] = rotPoint(x, 0);
             (tx_, ty_) = (lkp[0], lkp[1]);
             (tx_, ty_) = ecMul(tx_, ty_, zp);
-            (cx, cy) = ecAdd(cx, cy, tx_, ty_);
+            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
             ce[0] = addmod(ce[0], mulmod(zp, lk[3], R), R);
             ce[1] = addmod(ce[1], mulmod(zp, lk[2], R), R);
             zp = mulmod(zp, zeta, R);
-            uint256 scale = mulmod(nuPow, mulmod(z0Mu, zsInvArr[3], R), R);
-            (tx_, ty_) = ecMul(cx, cy, scale);
-            (fX, fY) = ecAdd(fX, fY, tx_, ty_);
-            rTotal = addmod(rTotal, mulmod(scale, interpAt(pts, ce, mu), R), R);
+            rTotal = addmod(rTotal, interpAt(pts, ce, mu), R);
             nuPow = mulmod(nuPow, nu, R);
         }
 

@@ -35,6 +35,7 @@ HEAVY = {
     "test_engine_device.py",
     "test_engine_components.py",
     "test_integration.py",
+    "test_k13.py",
     "test_parallel.py",
     "test_plonk.py",
     "test_msm.py",

@@ -143,11 +143,13 @@ def test_deposit_sol_artifact_executes_real_proof():
 
     ok, gas = sol.call("verifyProof", proof, list(pub))
     assert ok is True
-    # gas sanity: the reference's deposit verifier measures 831_764 on revm
-    # (generator.rs:80); the interpreter's metering must land in the same
-    # regime — a pairing + hundreds of ecMul/ecAdd can't be under 150k, and
-    # an order-of-magnitude blowup would flag mismetering.
-    assert 150_000 < gas < 5_000_000, gas
+    # Pinned gas ceiling, the reference's convention: generator.rs:79-81
+    # fails CI when measured gas exceeds 110% of the pinned per-circuit
+    # value.  Pin = the fused-emission measurement (artifacts/
+    # gas_report.json, measure_gas.py enforces all three); reference revm
+    # deposit = 831_764.  The floor guards against mis-metering (a
+    # pairing + dozens of ecMuls cannot cost under 500k).
+    assert 500_000 < gas <= int(1.10 * 801_741), gas
 
     # corrupted proof byte -> on-curve / pairing failure -> revert
     bad = bytearray(proof)

@@ -280,15 +280,32 @@ class ShardedProver:
 
 def prove_sharded(pk, advice_values, instances, mesh, rng=None,
                   pcs: str = "bdfg21") -> bytes:
-    """Full proof with every commitment AND the quotient phase computed
-    on the mesh.
+    """Full proof through the DEVICE engine's six phase graphs, GSPMD-
+    partitioned over the mesh.
 
-    Byte-identical to plonk.prove(engine="host"/"device") for the same
-    rng stream; the host drives transcript + scalar work while all G1
-    MSMs execute points-sharded across the devices and phase 3 runs
-    through the sharded four-step NTTs + the row-sharded quotient
-    evaluator (ShardedProver.quotient_coeffs).
+    Every phase — witness ingest, grand products, quotient, evals, BDFG21
+    opens and all commitment MSMs — runs as the same fused graphs as
+    single-chip ``prove_device``, with domain rows and SRS points sharded
+    across the mesh's data axis (engine._mesh_put); XLA inserts the
+    collectives.  Byte-identical to plonk.prove(engine="host"/"device")
+    for the same rng stream.  The earlier host-driven variant (meshed
+    commits + quotient only, per-scalar host phases) remains as
+    ``prove_sharded_hooks`` for the hook-level tests.
     """
+    import random as _random
+
+    from ..proof import engine as _eng
+
+    assert pcs == "bdfg21", "device engine speaks BDFG21"
+    return _eng.prove_device(pk, advice_values, instances,
+                             rng or _random.Random(0), mesh=mesh)
+
+
+def prove_sharded_hooks(pk, advice_values, instances, mesh, rng=None,
+                        pcs: str = "bdfg21") -> bytes:
+    """Host-driven proof with meshed commitments + meshed quotient phase
+    (plonk.prove hook path): all G1 MSMs points-sharded, phase 3 through
+    the sharded four-step NTTs + row-sharded quotient evaluator."""
     from ..proof import plonk
 
     sp = ShardedProver(pk, mesh)

@@ -76,6 +76,28 @@ def device_to_ints(arr) -> list:
     return list(np.tensordot(weights, a, axes=(0, 0)))
 
 
+def _mesh_put(arr, mesh, axis: int = 1):
+    """Place ``arr`` on the mesh, sharded along ``axis`` when divisible.
+
+    The device engine is mesh-agnostic: phase graphs are plain jit
+    functions, and GSPMD partitions them from the input shardings laid
+    down here (rows of the evaluation/extended domain across the data
+    axis), inserting the collectives (all-to-alls for the NTT
+    transposes, psums for the MSM window reductions) itself.  Arrays too
+    small to split (challenge scalars, blinding tails) are replicated.
+    """
+    if mesh is None or arr is None:
+        return arr
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    name = mesh.axis_names[0]
+    nd = mesh.shape[name]
+    spec = [None] * arr.ndim
+    if arr.ndim > axis and arr.shape[axis] % nd == 0 and arr.shape[axis] >= nd:
+        spec[axis] = name
+    return jax.device_put(arr, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 # ---------------------------------------------------------------------------
 # lazy-bound value wrapper
 # ---------------------------------------------------------------------------
@@ -478,12 +500,19 @@ def lagrange_to_coeff_many(cols: list[list[int]], n: int) -> list[list[int]]:
 
 
 class DeviceProverKey:
-    """Device-resident tables + jitted phase graphs for one ProvingKey."""
+    """Device-resident tables + jitted phase graphs for one ProvingKey.
 
-    def __init__(self, pk):
+    With ``mesh`` set, every domain-sized table is laid out row-sharded
+    over the mesh's data axis (SRS points over the point axis), so the
+    phase graphs compile as GSPMD-partitioned programs — the multi-chip
+    proving path drives the SAME six graphs as single-chip.
+    """
+
+    def __init__(self, pk, mesh=None):
         from . import plonk as pl
 
         self.pk = pk
+        self.mesh = mesh
         cs = pk.vk.cs
         d = pk.vk.domain
         self.cs = cs
@@ -550,7 +579,18 @@ class DeviceProverKey:
             ints_to_device(zh_inv_vals),
             canon_cols([[v] for v in delta_pows], width=1)[:, 0, :]
             if delta_pows else jnp.zeros((F.N_LIMBS, 0), jnp.uint32))
+        if mesh is not None:
+            for attr in ("omega_pows", "coset_pows", "coset_inv_pows",
+                         "zh_inv", "x_vec", "fixed_vals", "sigma_vals",
+                         "fixed_coeff", "sigma_coeff", "fixed_ext",
+                         "sigma_ext", "l_ext", "tag_vecs"):
+                setattr(self, attr, _mesh_put(getattr(self, attr), mesh))
+            self.srs_table = _mesh_put(self.srs_table, mesh, axis=2)
         self._jit_cache: dict = {}
+
+    def put(self, arr, axis: int = 1):
+        """Mesh-shard an input array (no-op without a mesh)."""
+        return _mesh_put(arr, self.mesh, axis)
 
     # -- basis conversion helpers (traced) --
 
@@ -597,10 +637,10 @@ class DeviceProverKey:
 _DPK_CACHE: dict = {}
 
 
-def device_prover_key(pk) -> DeviceProverKey:
-    key = id(pk)
+def device_prover_key(pk, mesh=None) -> DeviceProverKey:
+    key = (id(pk), id(mesh) if mesh is not None else None)
     if key not in _DPK_CACHE:
-        _DPK_CACHE[key] = DeviceProverKey(pk)
+        _DPK_CACHE[key] = DeviceProverKey(pk, mesh)
     return _DPK_CACHE[key]
 
 
@@ -610,17 +650,22 @@ def device_prover_key(pk) -> DeviceProverKey:
 
 _DEBUG_STASH: dict = {}  # latest phase-5 intermediates (debug/test aid)
 
-def prove_device(pk, advice_values, instances, rng) -> bytes:
+def prove_device(pk, advice_values, instances, rng, mesh=None) -> bytes:
     """TPU-resident prove() — byte-identical to the host engine.
 
     Mirrors plonk.prove's transcript flow (same rng consumption order, same
     proof layout); all polynomial arithmetic and commitments run on device
     in six jitted phases, one per Fiat-Shamir round trip.
+
+    With ``mesh`` set the same six phase graphs compile GSPMD-partitioned
+    over the mesh (domain rows / SRS points sharded across the data axis)
+    — grand products, quotient, opens and evals all stay on device, and
+    the proof bytes are unchanged.
     """
     from . import plonk as pl
     from .transcript import Transcript
 
-    dpk = device_prover_key(pk)
+    dpk = device_prover_key(pk, mesh)
     cs, d = pk.vk.cs, pk.vk.domain
     n, u, bf, nz = dpk.n, dpk.u, dpk.bf, dpk.nz
     num_a = cs.num_advice
@@ -635,9 +680,9 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
               for _ in range(num_a)]
 
     # ---- phase 1: advice commitments ----
-    adv_canon = ints_to_device([list(col) for col in advice_values])
-    blind_arr = ints_to_device(blinds) if num_a else None  # (18, bf, A)
-    inst_canon = ints_to_device(instance_vals)
+    adv_canon = dpk.put(ints_to_device([list(col) for col in advice_values]))
+    blind_arr = dpk.put(ints_to_device(blinds)) if num_a else None  # (18, bf, A)
+    inst_canon = dpk.put(ints_to_device(instance_vals))
 
     def phase1(adv, blind, inst):
         adv = jax.lax.dynamic_update_slice_in_dim(adv, blind, n - bf, 1)
@@ -654,7 +699,7 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
 
     # ---- phase 1.5: lookup permuted input/table commitments ----
     n_lk = len(cs.lookups)
-    theta_a = ints_to_device([theta])[:, 0]
+    theta_a = dpk.put(ints_to_device([theta])[:, 0])
     lk_perm_m = lk_perm_coeff = None
     if n_lk:
         def phase1b(adv_m, inst_m, theta_a):
@@ -688,8 +733,8 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
             ap = ap_u + [rng.randrange(P) for _ in range(u, n)]
             sp = sp_u + [rng.randrange(P) for _ in range(u, n)]
             lk_perm.extend([ap, sp])
-        perm_canon = ints_to_device(lk_perm)  # (18, n, 2L): ap0,sp0,ap1,..
-        comp_canon = jnp.asarray(comp)
+        perm_canon = dpk.put(ints_to_device(lk_perm))  # (18,n,2L): ap0,sp0,..
+        comp_canon = dpk.put(jnp.asarray(comp))
 
         def phase1c(perm_canon, comp_canon):
             perm_m = F.to_mont(FR, perm_canon)
@@ -712,9 +757,9 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
     lk_z_blinds = [[rng.randrange(P) for _ in range(u + 1, n)]
                    for _ in range(n_lk)]
     random_poly = [rng.randrange(P) for _ in range(n)]
-    zb_arr = (ints_to_device(z_blinds) if nz else None)  # (18, n-u-1, nz)
-    lk_zb_arr = ints_to_device(lk_z_blinds) if n_lk else None
-    rp_arr = ints_to_device(random_poly)
+    zb_arr = (dpk.put(ints_to_device(z_blinds)) if nz else None)
+    lk_zb_arr = dpk.put(ints_to_device(lk_z_blinds)) if n_lk else None
+    rp_arr = dpk.put(ints_to_device(random_poly))
 
     def phase2(adv_m, inst_m, beta_a, gamma_a, zb, rp, lk_comp_m=None,
                lk_perm_m=None, lk_zb=None):
@@ -803,8 +848,8 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
         wsums = dpk.commit_many(to_commit)
         return z_coeff, lk_z_coeff, rp_m, wsums
 
-    beta_a = ints_to_device([beta])[:, 0]
-    gamma_a = ints_to_device([gamma])[:, 0]
+    beta_a = dpk.put(ints_to_device([beta])[:, 0])
+    gamma_a = dpk.put(ints_to_device([gamma])[:, 0])
     if n_lk:
         z_coeff, lk_z_coeff, rp_m, wsums = dpk.jitted("p2", phase2)(
             adv_m, inst_m, beta_a, gamma_a, zb_arr, rp_arr,
@@ -861,7 +906,7 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
         wsums = dpk.commit_many(pieces)
         return pieces, wsums
 
-    y_a = ints_to_device([y])[:, 0]
+    y_a = dpk.put(ints_to_device([y])[:, 0])
     if n_lk:
         t_pieces, wsums = dpk.jitted("p3", phase3)(
             adv_coeff, z_coeff, inst_m, beta_a, gamma_a, y_a, theta_a,
@@ -898,7 +943,7 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
         evs = jnp.stack(outs, axis=-1)  # (18, TOT, R)
         return F.from_mont(FR, evs)
 
-    pts_canon = ints_to_device(points)
+    pts_canon = dpk.put(ints_to_device(points))
     if n_lk:
         evs = np.asarray(dpk.jitted("p4", phase4)(
             adv_coeff, z_coeff, t_pieces, rp_m, pts_canon,
@@ -1058,12 +1103,15 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
         wsums = dpk.commit_many(h[:, :, None])
         return h, jnp.stack(f_list, axis=-1), jnp.stack(q_list, axis=-1), wsums
 
-    zeta_p = ints_to_device(zeta_pows)
-    nu_p = ints_to_device(nu_pows)
-    xn_p = ints_to_device(x_n_pows)
-    pts_a = jnp.stack([ints_to_device(row) for row in pts_flat], axis=1)
-    ptsi_a = jnp.stack([ints_to_device(row) for row in pts_inv_flat], axis=1)
-    rs_a = jnp.stack([ints_to_device(row) for row in rs_flat], axis=-1)
+    zeta_p = dpk.put(ints_to_device(zeta_pows))
+    nu_p = dpk.put(ints_to_device(nu_pows))
+    xn_p = dpk.put(ints_to_device(x_n_pows))
+    pts_a = dpk.put(jnp.stack([ints_to_device(row) for row in pts_flat],
+                              axis=1))
+    ptsi_a = dpk.put(jnp.stack([ints_to_device(row)
+                                for row in pts_inv_flat], axis=1))
+    rs_a = dpk.put(jnp.stack([ints_to_device(row) for row in rs_flat],
+                             axis=-1))
     if n_lk:
         h_poly, f_stack, q_stack, wsums = dpk.jitted("p5", phase5)(
             adv_coeff, z_coeff, t_pieces, rp_m, zeta_p, nu_p, xn_p,
@@ -1110,11 +1158,11 @@ def prove_device(pk, advice_values, instances, rng) -> bytes:
 
     wsums = dpk.jitted("p6", phase6)(
         h_poly, f_stack,
-        ints_to_device(scales),
-        ints_to_device([(P - z0_mu) % P])[:, 0],
-        ints_to_device([(P - r_mu_total) % P])[:, 0],
-        ints_to_device([mu])[:, 0],
-        ints_to_device([pow(mu, P - 2, P)])[:, 0])
+        dpk.put(ints_to_device(scales)),
+        dpk.put(ints_to_device([(P - z0_mu) % P])[:, 0]),
+        dpk.put(ints_to_device([(P - r_mu_total) % P])[:, 0]),
+        dpk.put(ints_to_device([mu])[:, 0]),
+        dpk.put(ints_to_device([pow(mu, P - 2, P)])[:, 0]))
     for pt in dpk.fold_commits(np.asarray(wsums)):
         tr.write_point(pt)
 

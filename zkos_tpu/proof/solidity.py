@@ -209,7 +209,15 @@ def render_solidity_verifier(vk: plonk.VerifyingKey,
         m = len(rots)
         lines = [f"        // rotation set {si}: rotations {rots}"]
         lines.append("        {")
-        lines.append("            uint256 cx; uint256 cy; uint256 zp = 1;")
+        # Fused scalar accumulation: each commitment is multiplied ONCE by
+        # its final scalar scale_s * zeta^k (scale_s = nu^s * z0(mu)/zs(mu))
+        # and added straight into F — no per-set combined point, no second
+        # ecMul by scale (one precompile call saved per rotation set, and
+        # set 0's first scalar is exactly 1, which ecMul short-circuits).
+        # The set evals carry the same scale (interpAt is linear), so
+        # rTotal needs no scale factor either.
+        lines.append("            uint256 zp = mulmod(nuPow, "
+                     f"mulmod(z0Mu, zsInvArr[{si}], R), R);")
         lines.append(f"            uint256[] memory ce = new uint256[]({m});")
         lines.append(f"            uint256[] memory pts = new uint256[]({m});")
         for ri, rot in enumerate(rots):
@@ -217,18 +225,14 @@ def render_solidity_verifier(vk: plonk.VerifyingKey,
         for key in keys:
             lines.append(f"            (tx_, ty_) = {comm_expr(key)};")
             lines.append("            (tx_, ty_) = ecMul(tx_, ty_, zp);")
-            lines.append("            (cx, cy) = ecAdd(cx, cy, tx_, ty_);")
+            lines.append("            (fX, fY) = ecAdd(fX, fY, tx_, ty_);")
             for ri, rot in enumerate(rots):
                 lines.append(
                     f"            ce[{ri}] = addmod(ce[{ri}], "
                     f"mulmod(zp, {eval_expr(key, rot)}, R), R);")
             lines.append("            zp = mulmod(zp, zeta, R);")
-        lines.append("            uint256 scale = mulmod(nuPow, "
-                     f"mulmod(z0Mu, zsInvArr[{si}], R), R);")
-        lines.append("            (tx_, ty_) = ecMul(cx, cy, scale);")
-        lines.append("            (fX, fY) = ecAdd(fX, fY, tx_, ty_);")
-        lines.append("            rTotal = addmod(rTotal, mulmod(scale, "
-                     "interpAt(pts, ce, mu), R), R);")
+        lines.append("            rTotal = addmod(rTotal, "
+                     "interpAt(pts, ce, mu), R);")
         lines.append("            nuPow = mulmod(nuPow, nu, R);")
         lines.append("        }")
         set_blocks.append("\n".join(lines))
@@ -287,6 +291,7 @@ contract {name} {{
     function ecMul(uint256 px, uint256 py, uint256 k)
         internal view returns (uint256, uint256) {{
         if (k == 0 || (px == 0 && py == 0)) return (0, 0);
+        if (k == 1) return (px, py);
         (bool ok, bytes memory out) = address(0x07).staticcall(
             abi.encode(px, py, k));
         require(ok, "ecMul");

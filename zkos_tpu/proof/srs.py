@@ -155,11 +155,26 @@ def synthetic_srs(k: int, tau: int | None = None, with_extra: bool = False) -> S
 
     Mirrors the reference's dev-mode ``generate_setup_params(k, rng)``
     (SURVEY.md §2.1); tau defaults to a fixed test value.
+
+    Default-tau results are cached on disk (artifacts/synthetic_srs_k*.bin):
+    2^k python scalar muls cost minutes at MAX_K=13, and the k=13 domain
+    test (generator.rs:20-24 keygen headroom) must be affordable per run.
     """
+    default_tau = tau is None
     tau = 0x1F2E3D4C5B6A79880102030405060708090A0B0C0D0E0F10 if tau is None else tau
     tau %= G.FR_MODULUS
     n = 1 << k
     count = 2 * n - 1 if with_extra else n
+
+    cache = None
+    if default_tau:
+        art = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "artifacts")
+        cache = os.path.join(art, f"synthetic_srs_k{k}"
+                                  f"{'x' if with_extra else ''}.bin")
+        if os.path.exists(cache):
+            return _load_synthetic(cache, k, count)
+
     g1 = []
     acc = 1
     for _ in range(count):
@@ -170,7 +185,40 @@ def synthetic_srs(k: int, tau: int | None = None, with_extra: bool = False) -> S
     g2 = PG.G2_GEN
     # s_g2 = tau * G2 — needs G2 scalar mul over Fq2; do it via the Fq12 embed
     s_g2 = _g2_scalar_mul(tau, g2)
-    return Srs(k=k, g1=g1, g2=g2, s_g2=s_g2)
+    srs = Srs(k=k, g1=g1, g2=g2, s_g2=s_g2)
+    if cache is not None:
+        try:
+            _store_synthetic(cache, srs, count)
+        except OSError:
+            pass
+    return srs
+
+
+def _store_synthetic(path: str, srs: Srs, count: int) -> None:
+    blob = bytearray()
+    for x, y in srs.g1:
+        blob += x.to_bytes(32, "little") + y.to_bytes(32, "little")
+    for v in (*srs.s_g2[0], *srs.s_g2[1]):
+        blob += v.to_bytes(32, "little")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(bytes(blob))
+    os.replace(tmp, path)
+
+
+def _load_synthetic(path: str, k: int, count: int) -> Srs:
+    from ..ops import pairing_golden as PG
+
+    data = open(path, "rb").read()
+    assert len(data) == 64 * count + 128, "synthetic SRS cache size mismatch"
+    g1 = [(int.from_bytes(data[64 * i : 64 * i + 32], "little"),
+           int.from_bytes(data[64 * i + 32 : 64 * i + 64], "little"))
+          for i in range(count)]
+    off = 64 * count
+    vals = [int.from_bytes(data[off + 32 * j : off + 32 * (j + 1)], "little")
+            for j in range(4)]
+    s_g2 = ((vals[0], vals[1]), (vals[2], vals[3]))
+    return Srs(k=k, g1=g1, g2=PG.G2_GEN, s_g2=s_g2)
 
 
 def _g2_scalar_mul(s: int, q_pt):
