@@ -93,7 +93,10 @@ def budget_left(reserve: float = 30.0) -> float:
 
 
 def timeit(fn, *args, iters=3):
+    t0 = time.perf_counter()
     np.asarray(jax.tree.leaves(fn(jnp.uint32(1), *args))[0])  # compile+drain
+    log(f"  compile+first-run: {time.perf_counter() - t0:.1f}s "
+        f"(persistent-cache hit if well under the cold-compile minute mark)")
     times = []
     for k in range(2, 2 + iters):
         t0 = time.perf_counter()
@@ -155,16 +158,26 @@ def bench_poseidon() -> float:
 
 
 def bench_ntt(log_n: int) -> float:
+    """Per-transform wall-clock.  Small transforms are timed as a CHAIN of
+    dependent NTTs inside one jit: a single 2^13 launch is dominated by
+    the ~50 ms tunnel sync of the result fetch (measurement note above),
+    which a local host would not pay and which buried the actual kernel
+    time in r04's 23.94 ms reading."""
     nn = 1 << log_n
     fn = NTT.ntt_large if log_n >= 18 else NTT.ntt  # 4-step above HBM knee
+    chain = 8 if log_n <= 16 else 1
 
     @jax.jit
     def run(seed):
         coeffs = _seeded_limbs(seed, (F.N_LIMBS, nn))
-        return jnp.sum(fn(coeffs), axis=1)
+        for _ in range(chain):
+            # dependent applications: no overlap, no dead-code elimination
+            coeffs = fn(coeffs)
+        return jnp.sum(coeffs, axis=1)
 
-    t = timeit(run, iters=2 if log_n >= 20 else 3)
-    log(f"ntt 2^{log_n}{' (4-step)' if log_n >= 18 else ''}: {t*1e3:.2f} ms")
+    t = timeit(run, iters=2 if log_n >= 20 else 3) / chain
+    log(f"ntt 2^{log_n}{' (4-step)' if log_n >= 18 else ''}"
+        f"{f' (x{chain} chain)' if chain > 1 else ''}: {t*1e3:.2f} ms")
     return t * 1e3
 
 
@@ -291,12 +304,18 @@ def main() -> None:
         log(f"msm c={MSM_C_SAFE} bench failed: {type(e).__name__}: {e}")
     emit()
 
-    # 3. risky sections, each in its own budgeted subprocess
-    if os.environ.get("ZKOS_BENCH_SKIP_MSM_EXP") != "1":
-        pps = _sub("msm-experiment", "MSM_PPS", min_budget=60, cap=600)
-        if pps is not None and pps > res.get("msm", 0.0):
-            res["msm"] = round(pps, 1)
-            res["msm_c"] = MSM_C_EXPERIMENT
+    # 3. risky sections, each in its own budgeted subprocess.
+    # PROVE FIRST: deposit_prove_ms is the one number directly comparable
+    # to the reference's 600-800 ms headline and it must never again lose
+    # its budget to an experiment (VERDICT r04 "Next round" #1); ntt24
+    # (never yet recorded) second; the MSM window experiment (an upside
+    # attempt over an already-recorded number) last.
+    if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
+        cap = float(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400"))
+        ms = _sub("prove-only", "PROVE_MS", min_budget=60, cap=cap)
+        if ms is not None:
+            res["deposit_prove_ms"] = round(ms, 1)
+            res["prove_vs_reference"] = round(BASELINE_PROVE_MS / ms, 3)
             emit()
 
     if os.environ.get("ZKOS_BENCH_SKIP_NTT24") != "1":
@@ -305,12 +324,11 @@ def main() -> None:
             res["ntt_2e24_ms"] = round(ms, 1)
             emit()
 
-    if os.environ.get("ZKOS_BENCH_SKIP_PROVE") != "1":
-        cap = float(os.environ.get("ZKOS_BENCH_PROVE_TIMEOUT", "2400"))
-        ms = _sub("prove-only", "PROVE_MS", min_budget=60, cap=cap)
-        if ms is not None:
-            res["deposit_prove_ms"] = round(ms, 1)
-            res["prove_vs_reference"] = round(BASELINE_PROVE_MS / ms, 3)
+    if os.environ.get("ZKOS_BENCH_SKIP_MSM_EXP") != "1":
+        pps = _sub("msm-experiment", "MSM_PPS", min_budget=60, cap=600)
+        if pps is not None and pps > res.get("msm", 0.0):
+            res["msm"] = round(pps, 1)
+            res["msm_c"] = MSM_C_EXPERIMENT
             emit()
 
     emit()

@@ -18,9 +18,8 @@ import random
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-from zkos_tpu.utils import machine as _machine
-jax.config.update("jax_compilation_cache_dir",
-                  _machine.cache_dir("/root/repo/.jax_cache"))
+# no persistent cache: XLA:CPU AOT entries never reload on this jaxlib
+# (cpu_aot_loader rejects its own pseudo-features); writes would be waste
 
 ART = os.path.join(os.path.dirname(__file__), "artifacts")
 

@@ -22,10 +22,8 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-from zkos_tpu.utils import machine as _machine
-jax.config.update("jax_compilation_cache_dir",
-                  _machine.cache_dir("/root/repo/.jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# no persistent cache: XLA:CPU AOT entries never reload on this jaxlib
+# (cpu_aot_loader rejects its own pseudo-features); writes would be waste
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -11,7 +11,14 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # XLA:CPU in-process collectives abort the PROCESS when one partition
+    # reaches a rendezvous >40s before another; 8 virtual devices on 2
+    # cores legitimately skew that much inside large GSPMD modules.
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+               " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120")
+os.environ["XLA_FLAGS"] = _flags
 
 # Tests default to the host-golden prover engine: the device engine's jitted
 # phase graphs take many minutes to compile on the 2-vCPU XLA:CPU backend,
@@ -24,15 +31,12 @@ os.environ.setdefault("ZKOS_PROVER_ENGINE", "host")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# CPU-side persistent cache lives in its OWN directory: concurrent
-# writes from a TPU bench/warm process into the same cache dir were
-# observed to segfault readers mid-deserialization (two full-suite
-# crashes in jax compilation_cache.get_executable_and_time)
-from zkos_tpu.utils import machine as _machine  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir",
-                  _machine.cache_dir("/root/repo/.jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compile cache on the CPU backend: this jaxlib's
+# cpu_aot_loader rejects every AOT entry at load time (its own
+# "+prefer-no-scatter/gather" pseudo-features fail the host feature
+# check), so cache writes cost serialization time and disk for entries
+# that can never be read back.  The TPU bench keeps its own cache
+# (.jax_cache/<machine-fingerprint>), which does round-trip.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

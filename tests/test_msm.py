@@ -110,16 +110,19 @@ def test_msm_batched_commit(rng):
         assert M.fold_windows_host(ws[b], 8) == CG.msm(col, pts)
 
 
-def test_msm_sorted_c16(rng):
-    """c=16 windows span exactly two 15-bit limbs (the sh=14 worst case
-    uses bits 14..29); full-scalar MSM must still match the golden oracle."""
+@pytest.mark.parametrize("c", [14, 16])
+def test_msm_sorted_wide_windows(rng, c):
+    """Wide windows that span two 15-bit limbs: c=14 is the bench
+    experiment config (bench.py MSM_C_EXPERIMENT — the benched config must
+    have golden-model coverage, round-4 ADVICE); c=16's sh=14 worst case
+    uses bits 14..29.  Full-scalar MSM must match the golden oracle."""
     pts = CG.random_points(np.random.default_rng(9), 32)
     scalars = [int(x) for x in
                np.random.default_rng(10).integers(0, 2**63, size=32)]
     scalars[0] = G.FR_MODULUS - 1  # all-ones-ish top window + signed carry
     parr = jnp.asarray(M.points_to_affine_limbs(pts))
     sarr = jnp.asarray(F.to_limbs(scalars))
-    assert M.msm_affine_ints(parr, sarr, c=16, steps=4) == CG.msm(scalars, pts)
+    assert M.msm_affine_ints(parr, sarr, c=c, steps=4) == CG.msm(scalars, pts)
 
 
 def test_msm_window_sums_batch(rng):

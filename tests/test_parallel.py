@@ -80,13 +80,7 @@ def test_sharded_msm_v2_window_sums(rng):
     assert got == cg.msm(sc, pts)
 
 
-def test_sharded_prover_byte_identical(mesh):
-    """A full PLONK proof with every commitment computed points-sharded
-    across the mesh is byte-identical to the host engine and verifies
-    (BASELINE config 5: the sharded *prover*, not just kernels)."""
-    import random
-
-    from zkos_tpu.parallel import prover as shp
+def _eq_circuit():
     from zkos_tpu.proof import plonk, srs as srs_mod
 
     k = 5
@@ -103,8 +97,40 @@ def test_sharded_prover_byte_identical(mesh):
     qv = [1 if r < 4 else 0 for r in range(n)]
     av = [7 if 0 < r < 4 else 0 for r in range(n)]
     pk, vk = plonk.keygen(cs, srs, [qv], engine="host")
+    return pk, vk, av
+
+
+def test_sharded_device_engine_byte_identical(mesh):
+    """A full PLONK proof through the MESHED DEVICE ENGINE — the six
+    fused phase graphs GSPMD-partitioned over the mesh, grand products /
+    quotient / opens / evals all on device — is byte-identical to the
+    host engine and verifies (BASELINE config 5)."""
+    import random
+
+    from zkos_tpu.parallel import prover as shp
+    from zkos_tpu.proof import plonk
+
+    pk, vk, av = _eq_circuit()
     proof = shp.prove_sharded(pk, [list(av), list(av)], [0], mesh,
                               rng=random.Random(2))
+    host = plonk.prove(pk, [list(av), list(av)], [0],
+                       rng=random.Random(2), engine="host")
+    assert proof == host
+    assert plonk.verify(vk, proof, [0])
+
+
+def test_sharded_hooks_prover_byte_identical(mesh):
+    """The host-driven hook path (points-sharded commits + meshed
+    quotient via plonk.prove(commit_fn/phase3_fn)) stays byte-identical
+    and verifies."""
+    import random
+
+    from zkos_tpu.parallel import prover as shp
+    from zkos_tpu.proof import plonk
+
+    pk, vk, av = _eq_circuit()
+    proof = shp.prove_sharded_hooks(pk, [list(av), list(av)], [0], mesh,
+                                    rng=random.Random(2))
     host = plonk.prove(pk, [list(av), list(av)], [0],
                        rng=random.Random(2), engine="host")
     assert proof == host
