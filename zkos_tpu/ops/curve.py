@@ -56,26 +56,47 @@ def point_from_affine_ints(pts) -> np.ndarray:
 def point_to_affine_ints(pt_arr) -> list:
     """Host: (3, 18[, n]) Montgomery projective -> golden affine points/None.
 
-    Accepts any lazy representative (< 2^16 p): coordinates are fully
-    reduced limb-by-limb via the golden field before the affine divide.
+    Accepts any lazy representative (< 2^16 p) with dirty limbs: the
+    weighted limb sum is exact for ANY uint32 limb values (the limb array
+    represents sum a_i 2^{15 i} whether or not limbs are canonical), so
+    the whole conversion runs in pure python-int arithmetic.  No jax ops:
+    the previous per-element eager normalize dispatched ~21k primitive
+    binds per (3, 18, 24) fold — ~4 s on CPU and a device round-trip per
+    op through the TPU tunnel, which dominated every commitment phase of
+    the prover (fold_windows_host's python EC math itself costs ~1 ms).
     """
-    pt_arr = jnp.asarray(pt_arr)
-    pt_arr = jnp.stack([F.canon(FQ, pt_arr[i]) for i in range(3)], axis=0)
     arr = np.asarray(pt_arr)
     single = arr.ndim == 2
     if single:
         arr = arr[:, :, None]
-    n = arr.shape[2]
+    weights = np.array([1 << (15 * i) for i in range(F.N_LIMBS)],
+                       dtype=object)
+    vals = np.tensordot(weights, arr.astype(object), axes=(0, 1))  # (3, n)
+    p = G.FQ_MODULUS
+    n = vals.shape[1]
+    xyz = [[G.FQ.from_mont(int(vals[c, i]) % p) for c in range(3)]
+           for i in range(n)]
+    # Montgomery batch inversion of the nonzero z's: one Fermat inversion
+    # + 3 mulmods per point instead of one ~1.2 ms inversion per point
+    nz = [i for i in range(n) if xyz[i][2]]
+    acc, prefix = 1, []
+    for i in nz:
+        prefix.append(acc)
+        acc = acc * xyz[i][2] % p
+    inv_acc = G.FQ.inv(acc) if nz else 1
+    zinv = {}
+    for j in range(len(nz) - 1, -1, -1):
+        i = nz[j]
+        zinv[i] = inv_acc * prefix[j] % p
+        inv_acc = inv_acc * xyz[i][2] % p
     out = []
     for i in range(n):
-        x, y, z = (G.FQ.from_mont(G.from_limbs(np.asarray(
-            F.normalize(FQ, jnp.asarray(arr[c, :, i])))))
-            for c in range(3))
+        x, y, z = xyz[i]
         if z == 0:
             out.append(None)
         else:
-            zi = G.FQ.inv(z)
-            out.append(((x * zi) % G.FQ_MODULUS, (y * zi) % G.FQ_MODULUS))
+            zi = zinv[i]
+            out.append(((x * zi) % p, (y * zi) % p))
     return out[0] if single else out
 
 

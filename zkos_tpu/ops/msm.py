@@ -549,6 +549,27 @@ def _window_sums_sorted(points_xy: jax.Array, sdigits: jax.Array, c: int,
     return C.ec_add(top, C.ec_neg(rest[..., 0]))
 
 
+def fold_windows_dev(wsums_batch: jax.Array, c: int) -> jax.Array:
+    """Batched device Horner over windows: (B, 3, 18, W) -> (3, 18, B).
+
+    c*W sequential ec_double/ec_add steps, each batched over the B
+    commitments — traced INSIDE the caller's phase graph, so the per-
+    commitment window fold costs no host dispatch at all (the host-side
+    fold was ~40 ms/commitment of python EC math, times every commitment
+    of every proof phase).
+    """
+    per_window = jnp.moveaxis(wsums_batch, 0, -1)  # (3, 18, W, B)
+    xs = jnp.moveaxis(per_window, 2, 0)[::-1]      # (W, 3, 18, B)
+    ident = C.point_identity((wsums_batch.shape[0],))
+
+    def body(acc, t_w):
+        acc = jax.lax.fori_loop(0, c, lambda _, r: C.ec_double(r), acc)
+        return C.ec_add(acc, t_w), None
+
+    out, _ = jax.lax.scan(body, ident, xs)
+    return out
+
+
 def fold_windows_host(window_sums, c: int):
     """Host fold: sum_w 2^{cw} T_w over python ints -> affine point or None.
 

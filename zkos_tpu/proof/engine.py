@@ -618,15 +618,21 @@ class DeviceProverKey:
                           self.coset_inv_pows.reshape(
                               (F.N_LIMBS, self.ext_n) + (1,) * tail))
 
-    def commit_many(self, coeff_mont):  # (18, n, B) -> (B, 3, 18, W)
+    def commit_many(self, coeff_mont):  # (18, n, B) -> (3, 18, B) folded
         canon = F.from_mont(FR, coeff_mont)
         sc = jnp.moveaxis(canon, -1, 0)  # (B, 18, n)
-        return M.msm_window_sums_batch(self.srs_table, sc, c=msm_c(self.n))
+        c = msm_c(self.n)
+        wsums = M.msm_window_sums_batch(self.srs_table, sc, c=c)
+        # window Horner ON DEVICE, batched over the B commitments — the
+        # host-side per-commitment fold cost ~40 ms of python EC math each
+        # and dominated every phase boundary
+        return M.fold_windows_dev(wsums, c)
 
-    def fold_commits(self, wsums) -> list:
-        """(B, 3, 18, W) window sums -> list of affine int points."""
-        return [M.fold_windows_host(np.asarray(wsums[i]), msm_c(self.n))
-                for i in range(wsums.shape[0])]
+    def fold_commits(self, folded) -> list:
+        """(3, 18, B) device-folded commitments -> list of affine points."""
+        from ..ops import curve as C
+
+        return C.point_to_affine_ints(np.asarray(folded))
 
     def jitted(self, name: str, fn):
         if name not in self._jit_cache:
