@@ -10,7 +10,7 @@ import jax
 
 from zkos_tpu.utils import machine as _machine
 jax.config.update("jax_compilation_cache_dir",
-                  _machine.cache_dir("/root/repo/.jax_cache"))
+                  _machine.cache_dir("/root/repo/.jax_cache", kind="device"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402

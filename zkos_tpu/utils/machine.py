@@ -26,15 +26,26 @@ def _cpu_flags() -> str:
     return platform.processor() or "unknown"
 
 
-def fingerprint() -> str:
+def fingerprint(kind: str = "cpu") -> str:
+    """``cpu``: hash of host CPU features (XLA:CPU AOT code is machine
+    code for the compile host).  ``device``: hash of jax version + the
+    default device kind — serialized TPU executables target the chip,
+    not the host CPU, so two hosts driving the same TPU generation share
+    a cache safely and SHOULD share it (warm-up survives host changes).
+    """
     import jax
 
-    key = "|".join([platform.machine(), jax.__version__, _cpu_flags()])
+    if kind == "device":
+        dev = jax.devices()[0]
+        key = "|".join(["device", jax.__version__,
+                        dev.platform, dev.device_kind])
+    else:
+        key = "|".join([platform.machine(), jax.__version__, _cpu_flags()])
     return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
-def cache_dir(base: str) -> str:
+def cache_dir(base: str, kind: str = "cpu") -> str:
     """Fingerprint-keyed subdirectory of ``base`` (created on demand)."""
-    d = Path(base) / fingerprint()
+    d = Path(base) / fingerprint(kind)
     d.mkdir(parents=True, exist_ok=True)
     return str(d)
