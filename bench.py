@@ -14,12 +14,13 @@ overrunning the driver budget — VERDICT.md r03 "What's missing" #1):
 - a CUMULATIVE result line is printed after EVERY section, so whatever has
   finished when the budget expires is recorded (the last line printed is
   the most complete one);
-- sections run cheapest-first: poseidon2 -> ntt 2^13 -> MSM at the
-  last-known-good window width -> everything risky after that;
-- risky sections (MSM window-width experiment, ntt 2^24, the end-to-end
-  prove) each run in their OWN subprocess under a sub-budget computed from
-  what is left of ZKOS_BENCH_TOTAL_BUDGET, so a hung compile cannot take
-  the whole bench down with it;
+- cheap sections run first (poseidon2 -> ntt 2^13 -> MSM at the
+  last-known-good window width); among the risky sections the ORDER IS BY
+  VALUE: the end-to-end prove (the number comparable to the reference's
+  headline) first, then ntt 2^24, then the MSM window experiment;
+- risky sections each run in their OWN subprocess under a sub-budget
+  computed from what is left of ZKOS_BENCH_TOTAL_BUDGET, so a hung
+  compile cannot take the whole bench down with it;
 - the prove section loads the committed pronto ProvingKey
   (artifacts/deposit_pk.bin via proof.serialize.unmarshall_pk) instead of
   re-running keygen, exactly as the reference's `new_pronto` path does
