@@ -40,6 +40,17 @@ PINNED_GAS = {
 }
 CEILING = 1.10
 
+# Contract-size gate: the reference CI measures verifier contract size
+# per commit and the 24 kB runtime/96 kB deploy limits bound it
+# (.github/workflows/_measure-gas-and-contract-size.yml:45-60,
+# evm_runner.rs:100).  The emitted artifacts are source text, so the
+# analog gate pins SOURCE size (~80 kB each) at +10%.
+PINNED_ARTIFACT_BYTES = {
+    "newaccount": 79_396,
+    "deposit": 78_779,
+    "withdraw": 78_780,
+}
+
 
 def main() -> None:
     import zkos_tpu.ops.grumpkin_golden as GR
@@ -130,10 +141,15 @@ def main() -> None:
 
     over = {k: v["interpreter_gas"] for k, v in report.items()
             if v["interpreter_gas"] > CEILING * PINNED_GAS[k]}
-    if over:
+    big = {k: v["artifact_bytes"] for k, v in report.items()
+           if v["artifact_bytes"] > CEILING * PINNED_ARTIFACT_BYTES[k]}
+    if over or big:
         raise SystemExit(
-            f"gas regression: {over} exceed {CEILING:.0%} of pinned "
-            f"{ {k: PINNED_GAS[k] for k in over} }")
+            (f"gas regression: {over} exceed {CEILING:.0%} of pinned "
+             f"{ {k: PINNED_GAS[k] for k in over} }; " if over else "")
+            + (f"artifact-size regression: {big} exceed {CEILING:.0%} of "
+               f"{ {k: PINNED_ARTIFACT_BYTES[k] for k in big} }" if big
+               else ""))
 
 
 if __name__ == "__main__":
