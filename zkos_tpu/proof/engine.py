@@ -25,6 +25,7 @@ byte-identical proofs for the same blinding stream).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -368,21 +369,26 @@ class DeviceQuotientCtx:
     lookup_ptab: object = None  # (i) -> MVal
 
 
-def quotient_numer_device(cs, ctx: DeviceQuotientCtx, y_mont: jax.Array) -> jax.Array:
-    """The full gate+permutation quotient numerator, Horner-folded in y.
+def quotient_row_builders(cs) -> list:
+    """One thunk per quotient-numerator row, in the NORMATIVE y-Horner
+    order (matches plonk._quotient_rows / codegen.rs:237-248).
 
-    Row order matches plonk._quotient_rows exactly (the y-Horner order is
-    normative: codegen.rs:237-248).  Returns (18, ext_n) Montgomery < 2p.
+    Each thunk is ``f(ctx, memo) -> MVal``; evaluating a contiguous slice
+    of thunks against a fresh ctx/memo traces exactly that slice's rows —
+    the basis for chunking the quotient phase into several smaller jits
+    (the single fused quotient graph's ~75 MB HLO exceeds the TPU
+    compile-helper's memory cap and is SIGKILLED; see prove_device).
     """
-    from . import plonk as pl
+    builders: list = []
 
-    memo: dict = {}
-    one = MVal(F.one_mont(FR, ()).reshape(F.N_LIMBS, *([1] * (ctx.ndim - 1))), 1)
-    rows: list[MVal] = []
+    def one_of(ctx):
+        return MVal(F.one_mont(FR, ()).reshape(
+            F.N_LIMBS, *([1] * (ctx.ndim - 1))), 1)
 
     for _name, exprs in cs.gates:
         for e in exprs:
-            rows.append(eval_expr_device(e, ctx, memo))
+            builders.append(
+                lambda ctx, memo, e=e: eval_expr_device(e, ctx, memo))
 
     nz = cs.num_permutation_zs()
     if nz:
@@ -391,59 +397,113 @@ def quotient_numer_device(cs, ctx: DeviceQuotientCtx, y_mont: jax.Array) -> jax.
                   for i in range(0, len(cs.permutation_columns), chunk_len)]
         rot_last = cs.rotation_last()
 
-        rows.append(ctx.l0 * (one - ctx.z(0, 0)))
-        zl = ctx.z(nz - 1, 0)
-        rows.append(ctx.llast * (zl * zl - zl))
+        builders.append(lambda ctx, memo: ctx.l0 * (one_of(ctx) - ctx.z(0, 0)))
+
+        def llast_row(ctx, memo):
+            zl = ctx.z(nz - 1, 0)
+            return ctx.llast * (zl * zl - zl)
+
+        builders.append(llast_row)
         for j in range(1, nz):
-            rows.append(ctx.l0 * (ctx.z(j, 0) - ctx.z(j - 1, rot_last)))
+            builders.append(lambda ctx, memo, j=j: ctx.l0 * (
+                ctx.z(j, 0) - ctx.z(j - 1, rot_last)))
 
         col_offset = 0
         for ci, chunk in enumerate(chunks):
-            lhs = ctx.z(ci, 1)
-            rhs = ctx.z(ci, 0)
-            for j, col in enumerate(chunk):
-                if col.kind == "fixed":
-                    v = ctx.fixed(col.index, 0)
-                elif col.kind == "advice":
-                    v = ctx.advice(col.index, 0)
-                else:
-                    v = ctx.instance()
-                sig = ctx.sigma(col_offset + j)
-                lhs = lhs * (v + ctx.beta * sig + ctx.gamma)
-                delta_pow = mval_const(pow(_DELTA, col_offset + j, P), ctx.ndim)
-                rhs = rhs * (v + ctx.beta * delta_pow * ctx.x_vec + ctx.gamma)
-            rows.append((lhs - rhs) * (one - (ctx.llast + ctx.lblind)))
+            def perm_row(ctx, memo, ci=ci, chunk=chunk,
+                         col_offset=col_offset):
+                lhs = ctx.z(ci, 1)
+                rhs = ctx.z(ci, 0)
+                for j, col in enumerate(chunk):
+                    if col.kind == "fixed":
+                        v = ctx.fixed(col.index, 0)
+                    elif col.kind == "advice":
+                        v = ctx.advice(col.index, 0)
+                    else:
+                        v = ctx.instance()
+                    sig = ctx.sigma(col_offset + j)
+                    lhs = lhs * (v + ctx.beta * sig + ctx.gamma)
+                    delta_pow = mval_const(pow(_DELTA, col_offset + j, P),
+                                           ctx.ndim)
+                    rhs = rhs * (v + ctx.beta * delta_pow * ctx.x_vec
+                                 + ctx.gamma)
+                return (lhs - rhs) * (one_of(ctx)
+                                      - (ctx.llast + ctx.lblind))
+
+            builders.append(perm_row)
             col_offset += len(chunk)
 
     # lookup rows (evaluator.rs:126-218 order), after permutation rows
     for li, (_name, ins, tabs) in enumerate(cs.lookups):
-        lz0 = ctx.lookup_z(li, 0)
-        rows.append(ctx.l0 * (one - lz0))
-        rows.append(ctx.llast * (lz0 * lz0 - lz0))
+        builders.append(lambda ctx, memo, li=li: ctx.l0 * (
+            one_of(ctx) - ctx.lookup_z(li, 0)))
 
-        def compress(exprs):
-            acc = None
-            for e in exprs:
-                v = eval_expr_device(e, ctx, memo)
-                acc = v if acc is None else acc * ctx.theta + v
-            return acc
+        def lk_last(ctx, memo, li=li):
+            lz0 = ctx.lookup_z(li, 0)
+            return ctx.llast * (lz0 * lz0 - lz0)
 
-        a_c = compress(ins)
-        s_c = compress(tabs)
-        pin = ctx.lookup_pin(li, 0)
-        ptab = ctx.lookup_ptab(li)
-        lhs = ctx.lookup_z(li, 1) * (pin + ctx.beta) * (ptab + ctx.gamma)
-        rhs = lz0 * (a_c + ctx.beta) * (s_c + ctx.gamma)
-        active = one - (ctx.llast + ctx.lblind)
-        rows.append((lhs - rhs) * active)
-        rows.append(ctx.l0 * (pin - ptab))
-        rows.append((pin - ptab) * (pin - ctx.lookup_pin(li, -1)) * active)
+        builders.append(lk_last)
 
+        def lk_main(ctx, memo, li=li, ins=ins, tabs=tabs):
+            def compress(exprs):
+                acc = None
+                for e in exprs:
+                    v = eval_expr_device(e, ctx, memo)
+                    acc = v if acc is None else acc * ctx.theta + v
+                return acc
+
+            a_c = compress(ins)
+            s_c = compress(tabs)
+            pin = ctx.lookup_pin(li, 0)
+            ptab = ctx.lookup_ptab(li)
+            lhs = (ctx.lookup_z(li, 1) * (pin + ctx.beta)
+                   * (ptab + ctx.gamma))
+            rhs = ctx.lookup_z(li, 0) * (a_c + ctx.beta) * (s_c + ctx.gamma)
+            active = one_of(ctx) - (ctx.llast + ctx.lblind)
+            return (lhs - rhs) * active
+
+        builders.append(lk_main)
+        builders.append(lambda ctx, memo, li=li: ctx.l0 * (
+            ctx.lookup_pin(li, 0) - ctx.lookup_ptab(li)))
+
+        def lk_order(ctx, memo, li=li):
+            pin = ctx.lookup_pin(li, 0)
+            ptab = ctx.lookup_ptab(li)
+            active = one_of(ctx) - (ctx.llast + ctx.lblind)
+            return (pin - ptab) * (pin - ctx.lookup_pin(li, -1)) * active
+
+        builders.append(lk_order)
+
+    return builders
+
+
+def horner_rows_device(builders, ctx: DeviceQuotientCtx,
+                       y_mont: jax.Array, acc: jax.Array | None) -> jax.Array:
+    """Fold ``builders``'s rows into the running y-Horner accumulator.
+
+    ``acc`` is the reduced (< 2p) accumulator carried across chunk jits
+    (None for the first chunk).  The arithmetic ORDER is identical to the
+    single-graph evaluation: acc = acc*y + row per row, reduced < 2p at
+    the chunk boundary (representative choice does not affect the
+    residues, so proofs stay byte-identical).
+    """
+    memo: dict = {}
     y = MVal(y_mont.reshape(F.N_LIMBS, *([1] * (ctx.ndim - 1))), 2)
-    acc = MVal(jnp.zeros_like(rows[0].arr), 1)
-    for row in rows:
-        acc = acc * y + row
-    return F.reduce2p(FR, acc.arr)
+    mval = (MVal(jnp.zeros(
+        (F.N_LIMBS,) + (1,) * (ctx.ndim - 1), dtype=jnp.uint32), 1)
+        if acc is None else MVal(acc, 2))
+    for b in builders:
+        mval = mval * y + b(ctx, memo)
+    return F.reduce2p(FR, mval.arr)
+
+
+def quotient_numer_device(cs, ctx: DeviceQuotientCtx, y_mont: jax.Array) -> jax.Array:
+    """The full gate+permutation quotient numerator, Horner-folded in y.
+
+    Row order matches plonk._quotient_rows exactly (the y-Horner order is
+    normative: codegen.rs:237-248).  Returns (18, ext_n) Montgomery < 2p.
+    """
+    return horner_rows_device(quotient_row_builders(cs), ctx, y_mont, None)
 
 
 from ..proof import domain as _dom  # noqa: E402  (host domain constants)
@@ -867,33 +927,45 @@ def prove_device(pk, advice_values, instances, rng, mesh=None) -> bytes:
         tr.write_point(pt)
     y = tr.squeeze_challenge()
 
-    # ---- phase 3: quotient ----
+    # ---- phase 3: quotient, CHUNKED across several jits ----
+    # One fused quotient graph lowers to a ~75 MB HLO module whose TPU
+    # compile is SIGKILLED by the compile helper's memory cap (observed
+    # twice at k=11); the row Horner is therefore split: p3a (extension
+    # transforms), p3q<i> (contiguous row slices folding one shared
+    # reduced accumulator — identical arithmetic order, so proofs stay
+    # byte-identical), p3c (zh division, piece split, commit+fold).
     num_q = cs.num_quotients()
 
-    def phase3(adv_coeff, z_coeff, inst_m, beta_a, gamma_a, y_a, theta_a,
-               lk_z_coeff=None, lk_perm_coeff=None):
+    def phase3a(adv_coeff, z_coeff, inst_m, lk_z_coeff=None,
+                lk_perm_coeff=None):
         inst_coeff = dpk._intt(inst_m[:, :, None])
         adv_ext = dpk._to_ext(adv_coeff)
         z_ext = dpk._to_ext(z_coeff)
         inst_ext = dpk._to_ext(inst_coeff)[:, :, 0]
-        lkz_ext = dpk._to_ext(lk_z_coeff) if n_lk else None
-        lkp_ext = dpk._to_ext(lk_perm_coeff) if n_lk else None
+        outs = (adv_ext, z_ext, inst_ext)
+        if n_lk:
+            outs += (dpk._to_ext(lk_z_coeff), dpk._to_ext(lk_perm_coeff))
+        return outs
+
+    def _quotient_ctx(adv_ext, z_ext, inst_ext, fixed_ext, sigma_ext,
+                      l_ext, x_vec, beta_a, gamma_a, theta_a,
+                      lkz_ext=None, lkp_ext=None):
         rs = dpk.rot_step
         ext_n = dpk.ext_n
 
         def rot(a, r):
             return jnp.roll(a, -((r * rs) % ext_n), axis=1)
 
-        ctx = DeviceQuotientCtx(
-            fixed=lambda i, r: MVal(rot(dpk.fixed_ext[:, :, i], r), 2),
+        return DeviceQuotientCtx(
+            fixed=lambda i, r: MVal(rot(fixed_ext[:, :, i], r), 2),
             advice=lambda i, r: MVal(rot(adv_ext[:, :, i], r), 2),
             instance=lambda: MVal(inst_ext, 2),
             z=lambda i, r: MVal(rot(z_ext[:, :, i], r), 2),
-            sigma=lambda i: MVal(dpk.sigma_ext[:, :, i], 2),
-            l0=MVal(dpk.l_ext[:, :, 0], 2),
-            llast=MVal(dpk.l_ext[:, :, 1], 2),
-            lblind=MVal(dpk.l_ext[:, :, 2], 2),
-            x_vec=MVal(dpk.x_vec, 2),
+            sigma=lambda i: MVal(sigma_ext[:, :, i], 2),
+            l0=MVal(l_ext[:, :, 0], 2),
+            llast=MVal(l_ext[:, :, 1], 2),
+            lblind=MVal(l_ext[:, :, 2], 2),
+            x_vec=MVal(x_vec, 2),
             beta=MVal(F.to_mont(FR, beta_a)[:, None], 2),
             gamma=MVal(F.to_mont(FR, gamma_a)[:, None], 2),
             ndim=2,
@@ -904,22 +976,47 @@ def prove_device(pk, advice_values, instances, rng, mesh=None) -> bytes:
             if n_lk else None,
             lookup_ptab=(lambda i: MVal(lkp_ext[:, :, 2 * i + 1], 2))
             if n_lk else None)
-        numer = quotient_numer_device(cs, ctx, F.to_mont(FR, y_a))
+
+    builders = quotient_row_builders(cs)
+    n_chunks = max(1, min(len(builders), int(os.environ.get(
+        "ZKOS_P3_CHUNKS", "6"))))
+    bounds = [round(i * len(builders) / n_chunks)
+              for i in range(n_chunks + 1)]
+
+    def make_chunk(lo, hi, first):
+        def chunk_fn(acc, adv_ext, z_ext, inst_ext, fixed_ext, sigma_ext,
+                     l_ext, x_vec, y_a, beta_a, gamma_a, theta_a,
+                     lkz_ext=None, lkp_ext=None):
+            ctx = _quotient_ctx(adv_ext, z_ext, inst_ext, fixed_ext,
+                                sigma_ext, l_ext, x_vec, beta_a, gamma_a,
+                                theta_a, lkz_ext, lkp_ext)
+            return horner_rows_device(
+                builders[lo:hi], ctx, F.to_mont(FR, y_a),
+                None if first else acc)
+        return chunk_fn
+
+    def phase3c(numer):
         t_ext = F.mont_mul(FR, numer, dpk.zh_inv)
         t_coeff = dpk._from_ext(t_ext)  # (18, ext_n)
         pieces = t_coeff[:, : num_q * n].reshape(F.N_LIMBS, num_q, n)
         pieces = jnp.moveaxis(pieces, 1, -1)  # (18, n, num_q)
-        wsums = dpk.commit_many(pieces)
-        return pieces, wsums
+        folded = dpk.commit_many(pieces)
+        return pieces, folded
 
     y_a = dpk.put(ints_to_device([y])[:, 0])
     if n_lk:
-        t_pieces, wsums = dpk.jitted("p3", phase3)(
-            adv_coeff, z_coeff, inst_m, beta_a, gamma_a, y_a, theta_a,
-            lk_z_coeff, lk_perm_coeff)
+        exts = dpk.jitted("p3a", phase3a)(adv_coeff, z_coeff, inst_m,
+                                          lk_z_coeff, lk_perm_coeff)
     else:
-        t_pieces, wsums = dpk.jitted("p3", phase3)(
-            adv_coeff, z_coeff, inst_m, beta_a, gamma_a, y_a, theta_a)
+        exts = dpk.jitted("p3a", phase3a)(adv_coeff, z_coeff, inst_m)
+    tables = (dpk.fixed_ext, dpk.sigma_ext, dpk.l_ext, dpk.x_vec)
+    acc = exts[2]  # placeholder arg with the right dtype; unused when first
+    for ci in range(n_chunks):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        acc = dpk.jitted(f"p3q{ci}", make_chunk(lo, hi, ci == 0))(
+            acc, exts[0], exts[1], exts[2], *tables,
+            y_a, beta_a, gamma_a, theta_a, *exts[3:])
+    t_pieces, wsums = dpk.jitted("p3c", phase3c)(acc)
     for pt in dpk.fold_commits(np.asarray(wsums)):
         tr.write_point(pt)
     x = tr.squeeze_challenge()
